@@ -1,0 +1,147 @@
+"""URL expression library — canonicalize / classify / extract, all JVM-side.
+
+Re-expresses the reference's per-row URL utilities as Spark Column
+expressions so they run inside whole-stage codegen (no Python in the hot
+path):
+
+* query-strip canonicalization — reference ``uri.split('?')[0]``
+  (``app/service/protocol_io/process_task/protocol_io_crawl.py:217-221``,
+  ``nature_protocol_crawl.py:153-156``).
+* relative-URL predicate — reference ``app/util/url_util.py:6-17``.
+* download blocklist — ~35 hard-coded substring rules at
+  ``app/util/url_util.py:30-107`` become a broadcast rules table + anti-join
+  (see operators.frontier) or an ORed contains expression for small rule sets.
+* extension whitelist — ``app/util/nature_protocol_crawl_util.py:125-136``,
+  ``app/util/text_deal.py:35-41``.
+* protocol-relative ``//`` fix + absolute resolution —
+  ``nature_protocol_crawl_util.py:146-165``.
+* DOI extraction ladder — ``app/service/pdf2doi/patterns.py:26-55``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Extension whitelist (reference nature_protocol_crawl_util.py:125-136 and
+# current_protocol_crawl_util.py:339-347, merged).
+EXTENSION_WHITELIST = [
+    "pdf", "png", "jpg", "jpeg", "gif", "svg", "tif", "tiff", "webp",
+    "mp4", "avi", "mov", "csv", "tsv", "txt", "xls", "xlsx", "doc", "docx",
+    "zip", "gz",
+]
+
+# Substring deny rules (reference url_util.py:30-107 — robots surrogate).
+DEFAULT_BLOCKLIST = [
+    "google.com", "googleapis", "doi.org/10", ".gov/", "github.com",
+    "login", "signin", "redirect=", "advert", "/ads/", "doubleclick",
+    "facebook.com", "twitter.com", "linkedin.com", "mailto:", "javascript:",
+    "data:image", ".svg",
+]
+
+
+def strip_fragment(url: Column) -> Column:
+    """Drop the ``#fragment`` suffix."""
+    return F.split(url, "#", 2).getItem(0)
+
+
+def strip_query(url: Column) -> Column:
+    """Reference canonicalization: ``uri.split('?')[0]``."""
+    return F.split(url, r"\?", 2).getItem(0)
+
+
+def fix_protocol_relative(url: Column) -> Column:
+    """``//host/path`` -> ``https://host/path``
+    (reference nature_protocol_crawl_util.py:146-153)."""
+    return F.when(
+        url.startswith("//"), F.concat(F.lit("https:"), url)
+    ).otherwise(url)
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host, default-port stripped."""
+    h = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    return F.regexp_replace(h, r":(80|443)$", "")
+
+
+def canonicalize(url: Column) -> Column:
+    """Full canonical form: protocol-relative fix -> trim -> strip fragment
+    -> strip query -> lower scheme+host -> drop trailing slash on non-root
+    paths.
+
+    The reference only query-strips + exact-compares; lowering the host and
+    dropping fragments strictly dedups more without changing which documents
+    are fetched, and is required for a seen-set keyed by hash at 10^10 scale.
+    """
+    u = fix_protocol_relative(F.trim(url))
+    u = strip_query(strip_fragment(u))
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = host_of(u)
+    path = F.regexp_replace(F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")), r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(
+        scheme.isNull() | host.isNull(), u
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path))
+
+
+def is_relative(url: Column) -> Column:
+    """True when the URL has no scheme+host (reference url_util.py:6-17)."""
+    return F.try_parse_url(fix_protocol_relative(url), F.lit("HOST")).isNull()
+
+
+def resolve_relative(url: Column, base_host: Column) -> Column:
+    """Resolve a host-relative path against a base host
+    (reference nature_protocol_crawl_util.py:155-165)."""
+    u = fix_protocol_relative(url)
+    return F.when(
+        is_relative(u),
+        F.concat(
+            F.lit("https://"),
+            base_host,
+            F.when(u.startswith("/"), u).otherwise(F.concat(F.lit("/"), u)),
+        ),
+    ).otherwise(u)
+
+
+def extension_of(url: Column) -> Column:
+    """Lower-cased extension of the path's last segment
+    (reference text_deal.py:35-41 ``get_file_extension``)."""
+    return F.lower(
+        F.regexp_extract(strip_query(strip_fragment(url)), r"\.([A-Za-z0-9]{1,5})$", 1)
+    )
+
+
+def has_whitelisted_extension(url: Column, whitelist: list[str] | None = None) -> Column:
+    """Extension-whitelist predicate (reference P4)."""
+    return extension_of(url).isin(*(whitelist or EXTENSION_WHITELIST))
+
+
+def is_blocked(url: Column, patterns: list[str] | None = None) -> Column:
+    """ORed substring deny rules (reference ``is_download`` url_util.py:30-107).
+
+    For large/host-specific rule sets use the broadcast anti-join in
+    operators.frontier instead; this expression form suits the static
+    global list (Catalyst folds it into one codegen'd stage).
+    """
+    pats = patterns or DEFAULT_BLOCKLIST
+    cond = F.lit(False)
+    for p in pats:
+        cond = cond | url.contains(p)
+    return cond
+
+
+def extract_doi(text: Column) -> Column:
+    """DOI extraction ladder (reference pdf2doi/patterns.py:26-55):
+    try the strict ``10.xxxx/...`` form, then looser variants, first hit wins.
+    """
+    strict = F.regexp_extract(text, r"(10\.\d{4,9}/[-._;()/:A-Za-z0-9]+)", 1)
+    via_url = F.regexp_extract(text, r"doi\.org/(10\.\d{4,9}/\S+)", 1)
+    spaced = F.regexp_extract(text, r"\b(10\.\d{4,9})\s*/\s*(\S+)", 0)
+    spaced = F.regexp_replace(spaced, r"\s", "")
+    out = F.coalesce(
+        F.nullif(via_url, F.lit("")),
+        F.nullif(strict, F.lit("")),
+        F.nullif(spaced, F.lit("")),
+    )
+    # standardise: lower-case, strip trailing punctuation
+    return F.regexp_replace(F.lower(out), r"[.,;)\]]+$", "")
