@@ -1,38 +1,536 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frontier-kernel batch on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2) as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+ANSI-SQL equivalent for each SQL-expressible one. Column names/aliases are
+identical on both sides (the driver hash-compares values under sorted
+column names).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from literature_crawler_spark.functions import text as tx
+from literature_crawler_spark.functions.text import LANG_MARKERS
+from literature_crawler_spark.operators import dedup, frontier as fr, images as im
+from literature_crawler_spark.operators import politeness as pol, similarity as sim
+from literature_crawler_spark.sources import synthetic as syn
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Derived URL frontier over the events table — the crawl kernel's test bed.
+# The same derivation is written in ANSI SQL inside the oracles, so the
+# canonicalize/blocklist/politeness/seen operators are checked end-to-end.
+# Shape: 20 hosts; 'error' events live under /ads/ (blocklisted), 'click'
+# events carry a query string (canonicalization strips it).
+# --------------------------------------------------------------------------
+
+_URL_SQL = (
+    "'https://h' || CAST(user_id % 20 AS VARCHAR) || '.example.org' || "
+    "CASE WHEN event_type = 'error' THEN '/ads/' ELSE '/e/' END || "
+    "CAST(event_id AS VARCHAR) || "
+    "CASE WHEN event_type = 'click' THEN '?utm=1' ELSE '' END"
+)
+
+
+def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.org"),
+            F.when(F.col("event_type") == "error", F.lit("/ads/")).otherwise(F.lit("/e/")),
+            F.col("event_id").cast("string"),
+            F.when(F.col("event_type") == "click", F.lit("?utm=1")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def _oracle_urls_cte() -> str:
+    return f"ev AS (SELECT event_id, user_id, event_type, {_URL_SQL} AS url FROM events)"
+
+
+# ------------------------------------------------------------------ entry ----
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier hot path (canonicalize -> hash -> Bloom ->
+    anti-join vs seen -> politeness quota) as one batch over sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    urls = _event_urls(spark, sf_dir)
+    cand = fr.canonicalize_candidates(urls)
+    robots = spark.createDataFrame(
+        [("*", "/ads/", False)], "host string, pattern string, allow boolean"
+    )
+    cand = fr.apply_robots(cand, robots)
+    seen = cand.filter(F.col("event_id") % 3 == 0).select("url_hash")
+    new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True, expected_seen=400)
+    pending = new.select(
+        "canon_url", "url_hash", "host", F.lit(0).alias("priority"),
+        F.col("event_id").alias("seq"),
+    )
+    sched = pol.schedule_wave(pending, politeness=None, default_budget=10)
+    return sched.select("host", "seq", "canon_url", "host_rank").orderBy("host", "host_rank")
+
+
+# ---------------------------------------------------------------- queries ----
+
+
+def _q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def _q5(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _top_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def _customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _customers_with_big_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def _event_window_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").between("2024-01-08", "2024-01-22"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _order_ten_day_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")) / 10).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+def _events_first_seen(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def _events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+def _crawl_canonicalize_counts(spark, sf_dir):
+    cand = fr.canonicalize_candidates(_event_urls(spark, sf_dir))
+    return cand.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("canon_url").alias("n_unique"),
+    )
+
+
+def _crawl_blocklist_filter(spark, sf_dir):
+    cand = fr.canonicalize_candidates(_event_urls(spark, sf_dir))
+    robots = spark.createDataFrame(
+        [("*", "/ads/", False), ("h7.example.org", "/e/", False)],
+        "host string, pattern string, allow boolean",
+    )
+    return fr.apply_robots(cand, robots).groupBy("host").agg(F.count("*").alias("n_allowed"))
+
+
+def _crawl_seen_antijoin(spark, sf_dir):
+    cand = fr.canonicalize_candidates(_event_urls(spark, sf_dir))
+    seen = cand.filter(F.col("event_id") % 3 == 0).select("url_hash")
+    new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True)
+    return new.select(F.col("canon_url"))
+
+
+def _crawl_politeness_rank(spark, sf_dir):
+    cand = fr.canonicalize_candidates(_event_urls(spark, sf_dir))
+    pending = cand.select(
+        "canon_url", "url_hash", "host",
+        F.lit(0).alias("priority"), F.col("event_id").alias("seq"),
+    )
+    sched = pol.schedule_wave(pending, politeness=None, default_budget=5)
+    return sched.select("host", "seq", "canon_url", "host_rank")
+
+
+def _doc_exact_dup_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    both = d.unionByName(dups)
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    return (
+        both.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.concat_ws(",", F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string"))).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _doc_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.alpha_ratio(F.col("text")), 4).alias("alpha_r"),
+        F.round(tx.stopword_ratio(F.col("text")), 4).alias("stop_r"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _doc_lang_distribution(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(tx.lang_id(F.col("text")).alias("lang_pred")).groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _doc_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=5, threshold=0.5)
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return sim.brute_force_topk(emb, q, k=5).select("query_id", "vec_id", "rank")
+
+
+def _doc_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+
+
+def _doc_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+
+
+def _image_decode_stats(spark, sf_dir):
+    pages = syn.generate_pages(spark, 200, 10, with_images=True)
+    return pages.select(
+        "image_id", "caption", F.col("phash").alias("phash_stored"),
+        im.decode_image_stats(F.col("bytes")).alias("d"),
+    ).select(
+        "image_id", "caption", "phash_stored",
+        F.col("d.w").alias("w"), F.col("d.h").alias("h"),
+        F.col("d.fmt").alias("fmt"), F.col("d.phash").alias("phash_decoded"),
+        F.col("d.ok").alias("ok"),
+    )
+
+
+def _embedding_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_topk(emb, q, dim=64, k=5, n_planes=4).select("query_id", "vec_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_region_revenue": _q5,
+        "top_orders_per_customer": _top_orders_per_customer,
+        "customers_without_orders": _customers_without_orders,
+        "customers_with_big_orders": _customers_with_big_orders,
+        "event_window_counts": _event_window_counts,
+        "order_ten_day_buckets": _order_ten_day_buckets,
+        "events_first_seen": _events_first_seen,
+        "events_json_extract": _events_json_extract,
+        "crawl_canonicalize_counts": _crawl_canonicalize_counts,
+        "crawl_blocklist_filter": _crawl_blocklist_filter,
+        "crawl_seen_antijoin": _crawl_seen_antijoin,
+        "crawl_politeness_rank": _crawl_politeness_rank,
+        "doc_exact_dup_groups": _doc_exact_dup_groups,
+        "doc_token_stats": _doc_token_stats,
+        "doc_lang_distribution": _doc_lang_distribution,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "ann_cosine_topk": _ann_cosine_topk,
+        # non-SQL-expressible (hash functions / binary codec / LSH planes
+        # have no DuckDB twin) -> driver records rows-only checks:
+        "doc_minhash_lsh": _doc_minhash_lsh,
+        "doc_simhash": _doc_simhash,
+        "image_decode_stats": _image_decode_stats,
+        "embedding_lsh_topk": _embedding_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ----------------------------------------------------------------- oracle ----
+
+
+def _lang_score_sql(lang: str) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INT)"
+        for m in LANG_MARKERS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _lang_case_sql() -> str:
+    e, d, f_, s = (_lang_score_sql(x) for x in ("en", "de", "fr", "es"))
+    return f"""
+      WITH p_t AS (SELECT ' ' || lower(text) || ' ' AS p FROM documents),
+      scores AS (SELECT {e} AS s_en, {d} AS s_de, {f_} AS s_fr, {s} AS s_es FROM p_t)
+      SELECT CASE
+        WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+        WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+        ELSE 'und' END AS lang_pred
+      FROM scores
     """
-    return {}
+
+
+_STOPWORDS_SQL = "(" + ",".join(f"'{w}'" for w in tx.STOPWORDS_EN) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    urls_cte = _oracle_urls_cte()
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY r_name, n_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rnk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders) WHERE rnk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "customers_with_big_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """,
+        "event_window_counts": """
+            SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-08' AND TIMESTAMP '2024-01-22'
+            GROUP BY event_type
+        """,
+        "order_ten_day_buckets": """
+            SELECT CAST(floor(date_diff('day', DATE '1995-01-01', o_orderdate) / 10) AS INT) AS bucket,
+                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "events_first_seen": """
+            SELECT user_id, event_type, event_id FROM (
+              SELECT user_id, event_type, event_id,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "events_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events
+        """,
+        "crawl_canonicalize_counts": f"""
+            WITH {urls_cte}
+            SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.org' AS host,
+                   count(*) AS n_urls,
+                   count(DISTINCT split_part(url, '?', 1)) AS n_unique
+            FROM ev GROUP BY 1
+        """,
+        "crawl_blocklist_filter": f"""
+            WITH {urls_cte},
+            canon AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.org' AS host,
+                             split_part(url, '?', 1) AS canon_url FROM ev)
+            SELECT host, count(*) AS n_allowed FROM canon
+            WHERE canon_url NOT LIKE '%/ads/%'
+              AND NOT (host = 'h7.example.org' AND canon_url LIKE '%/e/%')
+            GROUP BY host
+        """,
+        "crawl_seen_antijoin": f"""
+            WITH {urls_cte}
+            SELECT split_part(url, '?', 1) AS canon_url FROM ev
+            WHERE event_id % 3 <> 0
+        """,
+        "crawl_politeness_rank": f"""
+            WITH {urls_cte},
+            pending AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.org' AS host,
+                               event_id AS seq, split_part(url, '?', 1) AS canon_url FROM ev)
+            SELECT host, seq, canon_url, host_rank FROM (
+              SELECT host, seq, canon_url,
+                     row_number() OVER (PARTITION BY host ORDER BY seq ASC) AS host_rank
+              FROM pending) WHERE host_rank <= 5
+        """,
+        "doc_exact_dup_groups": """
+            WITH both_t AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                   count(*) AS n_dups,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+            FROM both_t GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_token_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS words
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                         ELSE 0 END, 4) AS alpha_r,
+                   round(CASE WHEN len(words) > 0
+                         THEN len(list_filter(words, x -> x IN {_STOPWORDS_SQL})) * 1.0 / len(words)
+                         ELSE 0 END, 4) AS stop_r,
+                   round(0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (CASE WHEN length(text) > 0
+                                THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                                ELSE 0 END)
+                       + 0.3 * least((CASE WHEN len(words) > 0
+                                      THEN len(list_filter(words, x -> x IN {_STOPWORDS_SQL})) * 1.0 / len(words)
+                                      ELSE 0 END) * 4, 1.0), 4) AS quality
+            FROM toks
+        """,
+        "doc_lang_distribution": f"""
+            SELECT lang_pred, count(*) AS n_docs FROM ({_lang_case_sql()}) GROUP BY lang_pred
+        """,
+        "doc_ngram_jaccard": """
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 40),
+            sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS sh
+                   FROM d, range(1, 10001) r(i)
+                   WHERE i <= greatest(length(t) - 4, 1)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT query_id, vec_id,
+                         list_cosine_similarity(qv, embedding) AS c
+                  FROM q, embeddings)
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,132 @@
+"""Benchmark runner — one JSON line on stdout.
+
+Times (a) the frontier hot path (canonicalize -> hash -> Bloom ->
+anti-join -> politeness rank) on a synthetic frontier scaled to the sf dir,
+and (b) the headline analytic queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Output: {"metric": ..., "value": seconds, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "frontier": {...}}
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and   SPARK_GRAFT_CPUS=32 python bench.py
+on the same input; see scripts/scaling_bench.py + BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from literature_crawler_spark.operators import frontier as fr
+from literature_crawler_spark.operators import politeness as pol
+from literature_crawler_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_orders_per_customer",
+    "events_first_seen",
+    "crawl_canonicalize_counts",
+    "crawl_seen_antijoin",
+    "crawl_politeness_rank",
+    "doc_token_stats",
+    "doc_minhash_lsh",
+    "ann_cosine_topk",
+    "image_decode_stats",
+]
+
+
+def _materialize(df) -> int:
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
+    """Frontier kernel throughput: URLs scheduled+deduped per second.
+
+    URL synthesis is pure Catalyst (concat over spark.range), so the
+    measurement is dominated by the kernel itself: canonicalize -> xxhash64
+    -> Bloom probe -> anti-join vs a seen set (1/3 of the keyspace) ->
+    per-host politeness ranking. Host skew: host 0 carries ~10% of URLs.
+    """
+    def urls(ids):
+        host = F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(F.col("id") % n_hosts)
+        return ids.select(
+            F.col("id"),
+            F.concat(
+                F.lit("https://h"), host.cast("string"), F.lit(".example.org/page/"),
+                F.col("id").cast("string"),
+                F.when(F.col("id") % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+            ).alias("url"),
+        )
+
+    seen = fr.canonicalize_candidates(
+        urls(spark.range(0, n_urls, 3))
+    ).select("url_hash")
+    seen = seen.persist()
+    seen_n = seen.count()  # materialize outside the timed section
+
+    t0 = time.time()
+    cand = fr.canonicalize_candidates(urls(spark.range(n_urls)))
+    new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True, expected_seen=seen_n)
+    pending = new.select(
+        "canon_url", "url_hash", "host",
+        F.lit(0).alias("priority"), F.col("id").alias("seq"),
+    )
+    sched = pol.schedule_wave(pending, politeness=None, default_budget=1_000_000)
+    _materialize(sched)
+    dt = time.time() - t0
+    seen.unpersist()
+    return {
+        "n_urls": n_urls,
+        "seen_size": seen_n,
+        "sec": round(dt, 3),
+        "urls_per_sec": round(n_urls / dt),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_urls = int(float(os.environ.get("SPARK_GRAFT_BENCH_URLS", 2_000_000 * cpus / 32)))
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        _materialize(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    frontier = bench_frontier(spark, n_urls)
+    total = round(sum(timings.values()) + frontier["sec"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_frontier_kernel",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "frontier": frontier,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Distributed Bloom filter over a 64-bit hash column.
+
+The frontier's seen-membership test (reference: per-row
+``query.filter_by(...).first()``, ``protocol_io_crawl.py:100``) needs a cheap
+prefilter so the exact LEFT ANTI join only shuffles the candidates that
+*might* be seen. This PySpark build lacks the JVM ``bloom_filter_agg``
+(not registered in 4.1 local), so the filter is NumPy bitmaps moved as Arrow
+batches:
+
+* build: each partition folds its hashes into a local bitmap
+  (``mapInPandas`` -> one binary row per partition), bitmaps are OR-combined
+  on the driver — the same partial-aggregate shape the JVM implementation
+  uses, with per-partition combine before the driver merge.
+* probe: the bitmap is broadcast; a vectorized pandas UDF computes all k
+  probe positions for a whole Arrow batch at once (no per-row Python).
+
+At 10^10-URL scale a single bitmap no longer fits: the intended layout is
+one Bloom per url_hash bucket (the ``seen`` table's partition key), each
+built the same way and consulted after partition pruning — or Iceberg
+Puffin bloom metadata when available. False positives only cost a wasted
+exact-join probe; false negatives are impossible, so correctness rests on
+the anti-join alone.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Multiply-shift constants for deriving k probe positions from one 64-bit
+# hash (Kirsch-Mitzenmacher double hashing: pos_i = h1 + i*h2).
+_KM_MULT1 = np.uint64(0x9E3779B97F4A7C15)
+_KM_MULT2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _probe_positions(hashes: np.ndarray, k: int, n_bits: int) -> np.ndarray:
+    """(len(hashes), k) array of bit positions, fully vectorized."""
+    h = hashes.astype(np.int64).view(np.uint64)
+    h1 = (h * _KM_MULT1) >> np.uint64(1)
+    h2 = (h * _KM_MULT2) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(n_bits, k) for a target false-positive rate."""
+    n = max(expected_items, 1)
+    n_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    n_bits = 1 << (n_bits - 1).bit_length()  # pow2 -> cheap modulo
+    k = max(1, round(n_bits / n * math.log(2)))
+    return n_bits, min(k, 16)
+
+
+class BloomFilter:
+    """Immutable bitmap + params; picklable for Spark broadcast."""
+
+    def __init__(self, bitmap: np.ndarray, n_bits: int, k: int) -> None:
+        self.bitmap = bitmap  # uint8 array, n_bits/8 long
+        self.n_bits = n_bits
+        self.k = k
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _probe_positions(np.asarray(hashes), self.k, self.n_bits)
+        bits = (self.bitmap[pos >> 3] >> (pos & 7)) & 1
+        return bits.all(axis=1)
+
+
+def build_bloom(
+    df: DataFrame, hash_col: str, expected_items: int, fpp: float = 0.01
+) -> BloomFilter:
+    """Build a BloomFilter from a DataFrame's 64-bit hash column.
+
+    Partition-parallel: executors fold hashes into local bitmaps; the driver
+    ORs one bitmap per partition (bitmap bytes << raw hashes for any
+    realistically sized seen-set delta).
+    """
+    n_bits, k = optimal_params(expected_items, fpp)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+        saw = False
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy()
+            if len(h) == 0:
+                continue
+            saw = True
+            pos = _probe_positions(h, k, n_bits)
+            np.bitwise_or.at(bitmap, pos.ravel() >> 3, np.uint8(1) << (pos.ravel() & 7).astype(np.uint8))
+        if saw:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = df.select(hash_col).mapInPandas(fold, "bitmap binary").collect()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row.bitmap, dtype=np.uint8)
+    return BloomFilter(out, n_bits, k)
+
+
+def might_contain_col(
+    spark: SparkSession, bloom: BloomFilter, hash_col: Column
+) -> Column:
+    """Vectorized membership-test Column against a broadcast BloomFilter."""
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(T.BooleanType())
+    def _probe(h: pd.Series) -> pd.Series:
+        return pd.Series(bc.value.might_contain(h.to_numpy()))
+
+    return _probe(hash_col)

@@ -1,0 +1,69 @@
+"""Politeness + priority scheduling: per-host quotas as window ranking.
+
+The reference paces fetches with fixed sleeps inside a serial loop
+(``protocol_io_crawl.py:80`` sleep(3); ``nature_protocol_crawl.py:269``
+sleep(1); ``current_protocol_crawl_util.py:131`` sleep(15)) — serial
+execution *is* its politeness mechanism. At cluster scale politeness becomes
+a per-wave, per-host admission quota: each wave schedules at most
+``budget_per_wave`` URLs per host, and the wave cadence supplies the
+inter-request delay (wave_period / budget >= min_interval).
+
+Correctness requirement (SURVEY.md §7.3 hard part 2): the per-host
+row_number() ranking is only exact if a host never spans partitions, so the
+quota window partitions by host BEFORE any skew salting; the salt is applied
+AFTER the cutoff, purely to spread the scheduled rows of a supernode host
+across fetch partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUDGET = 10
+N_SALT = 16
+
+
+def schedule_wave(
+    pending: DataFrame,
+    politeness: DataFrame | None,
+    default_budget: int = DEFAULT_BUDGET,
+    order_cols: tuple[str, ...] = ("priority", "seq"),
+) -> DataFrame:
+    """Rank pending URLs within each host by (priority, seq) and keep the
+    per-host budget; adds ``salt`` for downstream fetch distribution.
+
+    Returns the scheduled subset with a ``host_rank`` column. The window
+    shuffle partitions by host (exactly one shuffle); the politeness table
+    is broadcast (small dim).
+    """
+    if politeness is not None:
+        pending = pending.join(
+            F.broadcast(politeness.select("host", "budget_per_wave")), "host", "left"
+        )
+    else:
+        pending = pending.withColumn("budget_per_wave", F.lit(None).cast("int"))
+    w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
+    scheduled = (
+        pending.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.coalesce(F.col("budget_per_wave"), F.lit(default_budget)))
+        .drop("budget_per_wave")
+    )
+    # salt AFTER the quota cutoff: spreads a supernode host's scheduled rows
+    # over N_SALT fetch partitions without breaking per-host quota math
+    return scheduled.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("canon_url"), F.lit(1)), F.lit(N_SALT)).cast("int")
+    )
+
+
+def wave_cadence_ok(politeness: DataFrame, wave_period_ms: int) -> DataFrame:
+    """Hosts whose (budget, min_interval) fit the wave period — i.e.
+    budget_per_wave * min_interval_ms <= wave_period_ms. Used to derive a
+    compliant per-wave budget when the configured one is too aggressive."""
+    return politeness.withColumn(
+        "effective_budget",
+        F.least(
+            F.col("budget_per_wave"),
+            F.greatest((F.lit(wave_period_ms) / F.col("min_interval_ms")).cast("int"), F.lit(1)),
+        ),
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: cross-join pruned by a
+  broadcast query side, dot products via Catalyst ``zip_with``/``aggregate``
+  (JVM-side, no Python), window top-k.
+* LSH-bucketed ANN — random-hyperplane signatures bucket the corpus; only
+  same-bucket candidates are scored. The 100 TB path: shuffle ~ corpus x
+  n_tables instead of corpus x queries.
+* embedding near-dup pairs — cosine >= threshold within LSH buckets.
+
+The reference has no vector operations; this is part of the training-data
+pipeline surface the engine adds (embeddings fixture table:
+``/root/testdata/sf*/embeddings.parquet`` (vec_id, embedding, label)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity between two array<float> columns — pure Catalyst."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query: broadcast the (small) query side,
+    score every corpus row, window top-k per query.
+
+    Returns (query_id, vec_id, cosine, rank). Scoring is one codegen'd
+    projection over the corpus — scales linearly; for 10^9+ corpus rows use
+    ``lsh_topk``.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (LCG, no RNG import)."""
+    planes, state = [], seed or 1
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            v.append((state / (1 << 30)) - 1.0)  # in [-1, 1)
+        planes.append(v)
+    return planes
+
+
+def add_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature bucket (int) for each vector —
+    sign-pattern of n_planes dot products, computed as Catalyst expressions."""
+    sig = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
+        sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("lsh_bucket", sig)
+
+
+def _add_multi_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """array of (table, bucket) keys, one per hash table, then exploded —
+    standard multi-table LSH: a true neighbor only needs to collide in ONE
+    table, so recall ~ 1-(1-p^planes)^tables."""
+    keys = []
+    for t in range(n_tables):
+        sig = F.lit(0)
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t + 1)):
+            d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
+            sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        keys.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return df.withColumn("_key", F.explode(F.array(*keys))).select(
+        *df.columns, F.col("_key.tbl").alias("tbl"), F.col("_key.bucket").alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an LSH bucket
+    with the query in at least one of ``n_tables`` hash tables. The scale
+    path: an equi-join on (table, bucket) instead of a cross join — shuffle
+    ~ corpus x n_tables rows, independent of query count."""
+    qb = _add_multi_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", dim, n_planes, n_tables, seed=42,
+    )
+    cb = _add_multi_buckets(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", dim, n_planes, n_tables, seed=42,
+    )
+    cand = qb.join(cb, ["tbl", "bucket"]).dropDuplicates(["query_id", "vec_id"])
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets:
+    (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold."""
+    b = add_lsh_bucket(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", dim, n_planes,
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(y, "lsh_bucket")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.round(cosine_similarity_col(F.col("x._v"), F.col("y._v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

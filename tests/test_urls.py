@@ -1,0 +1,67 @@
+"""Canonicalizer golden cases (ports the test-corpus pattern of the
+reference's pdf2doi/test_patterns.py) + Spark/oracle cross-checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from literature_crawler_spark.functions import urls
+from literature_crawler_spark.oracle import crawl_oracle as co
+
+GOLDEN = [
+    ("https://Example.COM/path/?q=1#frag", "https://example.com/path"),
+    ("HTTP://example.com:80/a/b/", "http://example.com/a/b"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("//cdn.example.com/img.png?x=2", "https://cdn.example.com/img.png"),
+    ("https://example.com", "https://example.com/"),
+    ("  https://example.com/x  ", "https://example.com/x"),
+    ("https://h1.example.org/page/5?utm_source=feed", "https://h1.example.org/page/5"),
+]
+
+
+def test_canonicalize_golden(spark):
+    df = spark.createDataFrame([(u,) for u, _ in GOLDEN], ["url"])
+    got = [r[0] for r in df.select(urls.canonicalize(F.col("url"))).collect()]
+    assert got == [want for _, want in GOLDEN]
+
+
+def test_canonicalize_matches_oracle(spark):
+    """The independent Python canonicalizer must agree on absolute URLs."""
+    df = spark.createDataFrame([(u,) for u, _ in GOLDEN], ["url"])
+    got = [r[0] for r in df.select(urls.canonicalize(F.col("url"))).collect()]
+    for (raw, _), spark_val in zip(GOLDEN, got):
+        assert co.canonicalize(raw) == spark_val, raw
+
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [("/relative/x.pdf", True), ("relative.html", True), ("https://a.com/x", False), ("//a.com/x", False)],
+)
+def test_is_relative(spark, url, expected):
+    df = spark.createDataFrame([(url,)], ["url"])
+    assert df.select(urls.is_relative(F.col("url"))).collect()[0][0] == expected
+
+
+def test_extension_and_blocklist(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/f.PDF?x=1",), ("https://a.com/f.html",), ("https://ads.doubleclick.net/b.jpg",)],
+        ["url"],
+    )
+    rows = df.select(
+        urls.extension_of(F.col("url")).alias("ext"),
+        urls.has_whitelisted_extension(F.col("url")).alias("ok"),
+        urls.is_blocked(F.col("url")).alias("blocked"),
+    ).collect()
+    assert rows[0].ext == "pdf" and rows[0].ok and not rows[0].blocked
+    assert rows[1].ext == "html" and not rows[1].ok
+    assert rows[2].blocked
+
+
+def test_doi_ladder(spark):
+    cases = [
+        ("doi: 10.1038/s41596-020-0399-0.", "10.1038/s41596-020-0399-0"),
+        ("https://doi.org/10.1002/cpz1.217", "10.1002/cpz1.217"),
+        ("no doi here", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["t"])
+    got = [r[0] for r in df.select(urls.extract_doi(F.col("t"))).collect()]
+    assert got == [want for _, want in cases]
