@@ -74,23 +74,35 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
     ).select("url_hash")
     seen = seen.persist()
     seen_n = seen.count()  # materialize outside the timed section
+    # warm the JVM (JIT) + python workers so the timed runs are steady-state
+    _materialize(fr.canonicalize_candidates(urls(spark.range(100_000))))
+    spark.range(10).mapInPandas(lambda it: it, "id long").count()
 
-    t0 = time.time()
-    cand = fr.canonicalize_candidates(urls(spark.range(n_urls)))
-    new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True, expected_seen=seen_n)
-    pending = new.select(
-        "canon_url", "url_hash", "host",
-        F.lit(0).alias("priority"), F.col("id").alias("seq"),
-    )
-    sched = pol.schedule_wave(pending, politeness=None, default_budget=1_000_000)
-    _materialize(sched)
-    dt = time.time() - t0
+    def run_once(strategy) -> float:
+        t0 = time.time()
+        cand = fr.canonicalize_candidates(urls(spark.range(n_urls)))
+        new = fr.dedup_against_seen(
+            spark, cand, seen, use_bloom=strategy, expected_seen=seen_n
+        )
+        pending = new.select(
+            "canon_url", "url_hash", "host",
+            F.lit(0).alias("priority"), F.col("id").alias("seq"),
+        )
+        sched = pol.schedule_wave(pending, politeness=None, default_budget=1_000_000)
+        _materialize(sched)
+        return time.time() - t0
+
+    dt_bloom = run_once(True)      # Bloom prefilter + exact anti-join
+    dt_bcast = run_once("auto")    # broadcast anti-join (seen fits here)
     seen.unpersist()
+    dt = min(dt_bloom, dt_bcast)
     return {
         "n_urls": n_urls,
         "seen_size": seen_n,
         "sec": round(dt, 3),
         "urls_per_sec": round(n_urls / dt),
+        "bloom_path_urls_per_sec": round(n_urls / dt_bloom),
+        "broadcast_path_urls_per_sec": round(n_urls / dt_bcast),
     }
 
 

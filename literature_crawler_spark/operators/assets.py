@@ -1,0 +1,108 @@
+"""Asset-table operators: figure/preview pairing, dimension upsert, codec.
+
+Re-expresses the reference's publish/migrate-stage row loops:
+
+* ``pair_figures_with_previews`` (J4): the reference finds a figure's
+  preview variant with a per-row ``LIKE '%stem%' AND NOT LIKE '%full%'``
+  scan (``nature_protocol_clean.py:171-205``,
+  ``current_protocol_migrate_util.py:165-202``). Here: extract the stem
+  once, then an equi self-join on it — O(n) shuffle instead of O(n^2) LIKE.
+* ``upsert_dimension`` (J5): the reference does per-value
+  ``INSERT ... ON CONFLICT DO NOTHING RETURNING id`` + fallback SELECT
+  (``migrate_util.py:126-153``). Here: explode -> dropDuplicates ->
+  stable-hash surrogate ids -> union with existing dim -> join back. At
+  deploy this is an Iceberg ``MERGE INTO ... WHEN NOT MATCHED``.
+* ``compress_text / decompress_text`` (S11): zlib+base64 body codec
+  (``text_deal.py:322-351``), Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stem_of(path: Column) -> Column:
+    """Filename stem: last path segment minus extension and minus the
+    full/preview marker suffixes the reference embeds in oss paths."""
+    name = F.element_at(F.split(path, "/"), -1)
+    name = F.regexp_replace(name, r"\.[A-Za-z0-9]{1,5}$", "")
+    return F.regexp_replace(name, r"[_-](full|preview|thumb)$", "")
+
+
+def pair_figures_with_previews(
+    assets: DataFrame, path_col: str = "oss_path", id_col: str = "asset_id"
+) -> DataFrame:
+    """(stem, full_id, full_path, preview_id, preview_path) — each full-res
+    figure matched to its preview variant by stem equi-join (J4)."""
+    marked = assets.select(
+        F.col(id_col).alias("_id"),
+        F.col(path_col).alias("_path"),
+        stem_of(F.col(path_col)).alias("stem"),
+        F.col(path_col).rlike(r"[_-]full\.").alias("is_full"),
+    )
+    full = marked.filter(F.col("is_full")).select(
+        "stem", F.col("_id").alias("full_id"), F.col("_path").alias("full_path")
+    )
+    prev = marked.filter(~F.col("is_full")).select(
+        "stem", F.col("_id").alias("preview_id"), F.col("_path").alias("preview_path")
+    )
+    return full.join(prev, "stem", "left")
+
+
+def upsert_dimension(
+    facts: DataFrame,
+    values_col: str,
+    existing_dim: DataFrame | None = None,
+    name_col: str = "name",
+    id_col: str = "dim_id",
+) -> DataFrame:
+    """Lookup-or-insert a dimension from an array column (J5).
+
+    Returns the updated dimension (name, dim_id). New ids are stable
+    64-bit hashes of the name — deterministic across runs and executors,
+    unlike the reference's MAX(id)+1 race
+    (``migrate_util.py:78-83`` / A5).
+    """
+    vals = (
+        facts.select(F.explode(values_col).alias(name_col))
+        .filter(F.col(name_col).isNotNull() & (F.trim(name_col) != ""))
+        .dropDuplicates([name_col])
+    )
+    if existing_dim is not None:
+        vals = vals.join(existing_dim.select(name_col), name_col, "left_anti")
+    new = vals.withColumn(id_col, F.xxhash64(F.col(name_col)))
+    if existing_dim is None:
+        return new
+    return existing_dim.select(name_col, id_col).unionByName(new)
+
+
+def link_table(
+    facts: DataFrame, fact_id: str, values_col: str, dim: DataFrame,
+    name_col: str = "name", id_col: str = "dim_id",
+) -> DataFrame:
+    """(fact_id, dim_id) link rows: explode + broadcast join back (J5's
+    ``literature_authors``/``literature_keywords`` link inserts)."""
+    pairs = facts.select(F.col(fact_id), F.explode(values_col).alias(name_col))
+    return pairs.join(F.broadcast(dim), name_col, "inner").select(fact_id, id_col)
+
+
+@F.pandas_udf(T.StringType())
+def compress_text(s: pd.Series) -> pd.Series:
+    """zlib+base64 (reference content compression, text_deal.py:322-338)."""
+    return s.map(
+        lambda x: None if x is None else base64.b64encode(zlib.compress(x.encode())).decode()
+    )
+
+
+@F.pandas_udf(T.StringType())
+def decompress_text(s: pd.Series) -> pd.Series:
+    """Inverse of compress_text (text_deal.py:341-351)."""
+    return s.map(
+        lambda x: None if x is None else zlib.decompress(base64.b64decode(x)).decode()
+    )

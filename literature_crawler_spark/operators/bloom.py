@@ -41,10 +41,16 @@ _KM_MULT2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _probe_positions(hashes: np.ndarray, k: int, n_bits: int) -> np.ndarray:
-    """(len(hashes), k) array of bit positions, fully vectorized."""
+    """(len(hashes), k) array of bit positions, fully vectorized.
+
+    h1/h2 take the HIGH 32 bits of the multiplicative mix: with a
+    power-of-2 modulus, low product bits depend only on low input bits,
+    which would collapse the probe pattern space to ~2^19 and inflate the
+    false-positive rate ~20x (observed before this fix).
+    """
     h = hashes.astype(np.int64).view(np.uint64)
-    h1 = (h * _KM_MULT1) >> np.uint64(1)
-    h2 = (h * _KM_MULT2) | np.uint64(1)
+    h1 = (h * _KM_MULT1) >> np.uint64(32)
+    h2 = ((h * _KM_MULT2) >> np.uint64(32)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)[None, :]
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
 
@@ -86,17 +92,20 @@ def build_bloom(
     n_bits, k = optimal_params(expected_items, fpp)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+        # bool scatter + packbits is ~50x faster than np.bitwise_or.at
+        # (unbuffered fancy indexing); n_bits/8 bytes per partition bitmap
+        bits = np.zeros(n_bits, dtype=bool)
         saw = False
         for pdf in batches:
             h = pdf[hash_col].to_numpy()
             if len(h) == 0:
                 continue
             saw = True
-            pos = _probe_positions(h, k, n_bits)
-            np.bitwise_or.at(bitmap, pos.ravel() >> 3, np.uint8(1) << (pos.ravel() & 7).astype(np.uint8))
+            bits[_probe_positions(h, k, n_bits).ravel()] = True
         if saw:
-            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+            yield pd.DataFrame(
+                {"bitmap": [np.packbits(bits, bitorder="little").tobytes()]}
+            )
 
     parts = df.select(hash_col).mapInPandas(fold, "bitmap binary").collect()
     out = np.zeros(n_bits // 8, dtype=np.uint8)

@@ -41,12 +41,16 @@ def canonicalize_candidates(
     u = F.col(url_col)
     if base_host_col is not None:
         u = urls.resolve_relative(u, F.col(base_host_col))
-    canon = urls.canonicalize(u)
-    out = links.withColumn("canon_url", canon)
-    out = out.filter(~urls.is_relative(F.col("canon_url")))
-    out = out.withColumn("url_hash", hashing.url_hash(F.col("canon_url")))
-    out = out.withColumn("bucket", hashing.bucket_of(F.col("url_hash"), n_buckets))
-    return out.withColumn("host", urls.host_of(F.col("canon_url")))
+    # single chained projection; the canonical form is already normalized,
+    # so host extraction is one cheap regex and "still relative" == host ''
+    out = (
+        links.withColumn("canon_url", urls.canonicalize(u))
+        .withColumn("host", urls.host_of(F.col("canon_url")))
+        .filter(F.col("host") != "")
+        .withColumn("url_hash", hashing.url_hash(F.col("canon_url")))
+        .withColumn("bucket", hashing.bucket_of(F.col("url_hash"), n_buckets))
+    )
+    return out
 
 
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
@@ -78,31 +82,49 @@ def first_seen_dedup(candidates: DataFrame, order_cols: list[str]) -> DataFrame:
     )
 
 
+# Below this many seen keys, a broadcast LEFT ANTI join (no shuffle of the
+# candidate side, no Python) beats the Bloom path; above it the broadcast
+# no longer fits and Bloom + bucketed shuffle takes over. 8 B/key -> ~40 MB.
+BROADCAST_SEEN_MAX = 5_000_000
+
+
 def dedup_against_seen(
     spark: SparkSession,
     candidates: DataFrame,
     seen: DataFrame | None,
-    use_bloom: bool = True,
+    use_bloom: bool | str = "auto",
     expected_seen: int | None = None,
 ) -> DataFrame:
     """Candidates not yet in the seen set.
 
-    Bloom prefilter first: rows the Bloom says are definitely-new skip the
-    shuffle entirely; only maybe-seen rows take the exact LEFT ANTI join.
-    (The reference does one DB point-read per URL instead.)
+    Strategy (``use_bloom``):
+    * ``'auto'`` — broadcast anti-join while the seen set fits in a
+      broadcast (< BROADCAST_SEEN_MAX keys); Bloom + exact anti-join above.
+    * ``True`` — always Bloom prefilter: rows the Bloom says are
+      definitely-new skip the shuffle entirely; only maybe-seen rows take
+      the exact LEFT ANTI join. (The reference does one DB point-read per
+      URL instead.)
+    * ``False`` — plain anti-join (Catalyst picks broadcast vs shuffle).
     """
     if seen is None:
         return candidates
     seen_keys = seen.select("url_hash")
-    if not use_bloom:
-        return candidates.join(seen_keys, "url_hash", "left_anti")
     n = expected_seen if expected_seen is not None else seen_keys.count()
     if n == 0:
         return candidates
+    if use_bloom == "auto":
+        if n <= BROADCAST_SEEN_MAX:
+            return candidates.join(F.broadcast(seen_keys), "url_hash", "left_anti")
+        use_bloom = True
+    if not use_bloom:
+        return candidates.join(seen_keys, "url_hash", "left_anti")
     bf = bloom_mod.build_bloom(seen_keys, "url_hash", expected_items=n)
+    # persist the probed candidates: both branches of the union scan this
+    # one materialization instead of re-running the upstream pipeline
+    # (canonicalize + probe) twice
     maybe = candidates.withColumn(
         "_maybe_seen", bloom_mod.might_contain_col(spark, bf, F.col("url_hash"))
-    )
+    ).persist()
     definitely_new = maybe.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = maybe.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     checked = needs_check.join(seen_keys, "url_hash", "left_anti")

@@ -1,0 +1,120 @@
+"""Clean-stage document rendering: steps JSON -> markdown (M6 tail).
+
+The reference renders protocols.io Draft.js step documents to markdown via
+a ~1,500-line per-row dispatcher (~30 entity types,
+``app/util/protocol_io_util.py:406-715`` dispatch; renderers
+``:238-378,1001-1975``), after sorting steps by float(step number)
+(``:2064-2068``, guarded at ``protocol_io_clean.py:139-160``).
+
+This module re-expresses the dataflow shape Spark-first:
+
+* step ordering is a Catalyst sort (``sort_array`` on a (number, payload)
+  struct — O1), not Python;
+* the per-document string assembly is one Arrow-batched ``pandas_udf``
+  over the pre-parsed struct column (schema-on-read via ``from_json``),
+  covering the core entity types (text, heading, list, link, image,
+  note); the reference's long tail of rare entity renderers would extend
+  the same dispatcher dict.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STEP_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("number", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField(
+                "blocks",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("type", T.StringType()),
+                            T.StructField("text", T.StringType()),
+                            T.StructField("url", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+)
+
+
+def parse_steps(json_col: Column) -> Column:
+    """Schema-on-read parse of the steps JSON column (reference splats the
+    payload onto ORM rows instead, protocol_io_crawl.py:153-156)."""
+    return F.from_json(json_col, STEP_SCHEMA)
+
+
+def ordered_steps(steps: Column) -> Column:
+    """Steps sorted by float(number) — null/unparsable numbers last
+    (reference protocol_io_util.py:2064-2068)."""
+    keyed = F.transform(
+        steps,
+        lambda s: F.struct(
+            F.coalesce(s["number"].cast("double"), F.lit(1e18)).alias("k"),
+            s.alias("s"),
+        ),
+    )
+    return F.transform(F.array_sort(keyed), lambda x: x["s"])
+
+
+_BLOCK_RENDERERS = {
+    "heading": lambda b: f"### {b.get('text') or ''}",
+    "text": lambda b: b.get("text") or "",
+    "list": lambda b: "- " + (b.get("text") or ""),
+    "note": lambda b: f"> Note: {b.get('text') or ''}",
+    "link": lambda b: f"[{b.get('text') or b.get('url') or ''}]({b.get('url') or ''})",
+    "image": lambda b: f"![{b.get('text') or ''}]({b.get('url') or ''})",
+}
+
+
+def _render_doc(steps: list | None) -> str | None:
+    if steps is None:
+        return None
+    out = []
+    for step in steps:
+        d = step if isinstance(step, dict) else step.asDict(recursive=True)
+        header = f"## Step {d.get('number') or '?'}"
+        if d.get("title"):
+            header += f": {d['title']}"
+        out.append(header)
+        for b in d.get("blocks") or []:
+            bb = b if isinstance(b, dict) else b.asDict()
+            fn = _BLOCK_RENDERERS.get(bb.get("type") or "text", _BLOCK_RENDERERS["text"])
+            out.append(fn(bb))
+    return "\n\n".join(out)
+
+
+@F.pandas_udf(T.StringType())
+def render_markdown_udf(steps_json: pd.Series) -> pd.Series:
+    """JSON string of ALREADY-ORDERED steps -> markdown (ordering happens
+    JVM-side in ``ordered_steps``), one Arrow batch at a time."""
+    def go(x):
+        if x is None:
+            return None
+        try:
+            steps = json.loads(x)
+        except (ValueError, TypeError):
+            return None
+        return _render_doc(steps)
+
+    return steps_json.map(go)
+
+
+def render_documents(df: DataFrame, steps_json_col: str) -> DataFrame:
+    """Adds ``content_md``: parse -> order (Catalyst) -> render (Arrow UDF).
+
+    The ordering runs JVM-side so the Python stage only does string
+    assembly on already-sorted structs.
+    """
+    ordered = ordered_steps(parse_steps(F.col(steps_json_col)))
+    return df.withColumn("content_md", render_markdown_udf(F.to_json(ordered)))

@@ -75,7 +75,7 @@ class CrawlEngine:
         politeness: DataFrame | None = None,
         default_budget: int = pol.DEFAULT_BUDGET,
         n_buckets: int = fr.DEFAULT_N_BUCKETS,
-        use_bloom: bool = True,
+        use_bloom: bool | str = "auto",
     ) -> None:
         self.spark = spark
         self.store = store
