@@ -308,6 +308,260 @@ def _embedding_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(emb, q, dim=64, k=5, n_planes=4).select("query_id", "vec_id", "rank")
 
 
+def _doc_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH-bucketed); injected exact
+    duplicates (vec_id+100000 every 25th) are the only pairs >= 0.9
+    (natural max cosine in the fixture is ~0.6), so the LSH path must
+    equal the oracle's brute-force pair scan."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(dups)
+    return sim.embedding_near_dup_pairs(both, dim=64, threshold=0.9).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic k-means coarse quantizer, n_probe nearest
+    cells scored per query (rows-only check; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def _asset_figure_preview_pairs(spark, sf_dir):
+    """J4: full-res figure <-> preview pairing as a stem equi self-join
+    (replaces the reference's per-row LIKE scan)."""
+    from literature_crawler_spark.operators import assets as ast
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit("oss://figs/f"),
+            F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("_full.png")).otherwise(
+                F.lit("_thumb.png")
+            ),
+        ).alias("oss_path"),
+    )
+    return ast.pair_figures_with_previews(d).select(
+        "stem", "full_id", "full_path", "preview_id", "preview_path"
+    )
+
+
+def _dim_link_counts(spark, sf_dir):
+    """J5: dimension lookup-or-insert + link table (explode -> dedup ->
+    hash-id dim -> broadcast join back), aggregated to per-name link counts
+    so the SQL oracle needs no hash ids."""
+    from literature_crawler_spark.operators import assets as ast
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    dim = ast.upsert_dimension(docs, "words")
+    links = ast.link_table(docs, "doc_id", "words", dim)
+    return (
+        links.join(F.broadcast(dim), "dim_id")
+        .groupBy("name")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def _steps_natural_order(spark, sf_dir):
+    """O1: natural alnum ordering ('step 2' < 'step 10') via the zero-pad
+    sort key expression. Global window is fine at fixture scale; the
+    engine-scale variant is plans.crawl.assign_global_seq."""
+    from literature_crawler_spark.functions import timeops as to
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("step "), (F.col("doc_id") % 25).cast("string"),
+            F.lit(" rev"), F.col("doc_id").cast("string"),
+        ).alias("label"),
+    )
+    w = Window.orderBy(to.natural_sort_key(F.col("label")).asc(), F.col("doc_id").asc())
+    return d.withColumn("rnk", F.row_number().over(w)).select("doc_id", "label", "rnk")
+
+
+def _publish_time_formats(spark, sf_dir):
+    """Reference's timestamp triplication (epoch int / '%d %B %Y' string /
+    year) as single-source TimestampType expressions (time_deal.py:8-73)."""
+    from literature_crawler_spark.functions import timeops as to
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        to.to_epoch(F.col("o_orderdate")).alias("epoch_s"),
+        to.format_publish_date(F.col("o_orderdate")).alias("pub_date"),
+        to.publish_year(F.col("o_orderdate")).alias("pub_year"),
+    )
+
+
+def _time_window_split(spark, sf_dir):
+    """S1: [t1,t2) -> fixed 10-day buckets as sequence()+explode (the
+    reference's split_time driver loop, time_deal.py:37-56)."""
+    from literature_crawler_spark.functions import timeops as to
+
+    return to.split_time_windows(spark, "1995-01-01", "1995-03-12", days=10).select(
+        "win_id", "win_start", "win_end"
+    )
+
+
+def _doi_extraction(spark, sf_dir):
+    """DOI regex ladder (pdf2doi/patterns.py:26-55) over synthesized
+    citation strings: doi.org URL form, inline form, and no-DOI rows."""
+    from literature_crawler_spark.functions import urls as u
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("see https://doi.org/10.1038/sx"), F.col("doc_id").cast("string"), F.lit(" end")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("ref 10.1145/abc."), F.col("doc_id").cast("string"), F.lit(", tail")),
+        )
+        .otherwise(F.lit("no doi here"))
+        .alias("txt"),
+    )
+    return d.select("doc_id", u.extract_doi(F.col("txt")).alias("doi"))
+
+
+def _url_classify(spark, sf_dir):
+    """P2/P3/P4: extension extraction + whitelist + substring blocklist as
+    one codegen'd projection over the derived event URLs."""
+    from literature_crawler_spark.functions import urls as u
+
+    ev = _event_urls(spark, sf_dir)
+    url2 = F.concat(
+        F.col("url"),
+        F.when(F.col("event_type") == "view", F.lit(".pdf"))
+        .when(F.col("event_type") == "purchase", F.lit(".html"))
+        .otherwise(F.lit("")),
+    )
+    return ev.select(
+        "event_id",
+        u.extension_of(url2).alias("ext"),
+        u.has_whitelisted_extension(url2).alias("is_whitelisted"),
+        u.is_blocked(url2, ["/ads/", "doi.org"]).alias("blocked"),
+    )
+
+
+def _max_id_assignment(spark, sf_dir):
+    """A5: MAX(id)+row_number id assignment with the reference's 20000
+    floor (migrate_util.py:78-83) — scalar-agg cross join, no collect."""
+    c = _t(spark, sf_dir, "customer")
+    existing = c.filter(F.col("c_custkey") <= 100).select(F.col("c_custkey").alias("id"))
+    new = c.filter((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 200)).select("c_name")
+    mx = existing.agg(F.greatest(F.max("id"), F.lit(19999)).alias("mx"))
+    w = Window.orderBy("c_name")
+    return (
+        new.crossJoin(F.broadcast(mx))
+        .withColumn("new_id", (F.col("mx") + F.row_number().over(w)).cast("long"))
+        .select("c_name", "new_id")
+    )
+
+
+def _compress_roundtrip(spark, sf_dir):
+    """S11: zlib+base64 body codec round-trip (text_deal.py:322-351),
+    Arrow-batched pandas UDFs; oracle is the identity."""
+    from literature_crawler_spark.operators import assets as ast
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", ast.decompress_text(ast.compress_text(F.col("text"))).alias("text")
+    )
+
+
+def _ris_seed_parse(spark, sf_dir):
+    """S3: RIS bibliographic source -> one row per record with multi-value
+    author/keyword arrays (rows-only: DuckDB has no RIS reader)."""
+    from literature_crawler_spark.sources import ris
+
+    df = ris.read_ris(spark, "/root/repo/tests/fixtures/sample.ris")
+    return df.select(
+        "record_id", "type", "title", "doi", "url",
+        F.concat_ws("|", "authors").alias("authors_joined"),
+        F.concat_ws("|", "keywords").alias("keywords_joined"),
+    ).orderBy("record_id")
+
+
+def _doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: xxhash64 of normalized text (the exact-dup
+    key; rows-only — DuckDB lacks xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint64(F.col("text")).alias("fp64"))
+
+
+def _image_resize_stats(spark, sf_dir):
+    """Multimodal resize path: block-mean resize in mapInPandas, then
+    decode stats of the resized blob (rows-only)."""
+    pages = syn.generate_pages(spark, 120, 10, with_images=True)
+    r = im.resize_images(pages.select("image_id", "bytes"), "bytes", 16, 16)
+    return r.select("image_id", im.decode_image_stats(F.col("resized")).alias("d")).select(
+        "image_id",
+        F.col("d.w").alias("w"), F.col("d.h").alias("h"),
+        F.col("d.phash").alias("phash"), F.col("d.ok").alias("ok"),
+    )
+
+
+def _video_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: FVID container -> every-2nd-frame rows
+    with decoded stats, one Arrow batch per partition (rows-only)."""
+    vids = syn.generate_videos(spark, 60, n_frames=6, side=16)
+    out = im.sample_video_frames(vids.select("video_id", "bytes"), "bytes", "video_id",
+                                 stride=2, max_frames=3)
+    return out.select("video_id", "frame_idx", "n_frames", "w", "h", "phash")
+
+
+def _audio_feature_extract(spark, sf_dir):
+    """Multimodal audio plumbing: fixed-length band-energy vector per blob
+    (deterministic fake spectrum; decode_audio is the marked swap point).
+    Rows-only."""
+    pages = syn.generate_pages(spark, 120, 10, with_images=True)
+    feat = im.audio_features(pages.select("image_id", "bytes"), "bytes", n_bands=16)
+    return feat.select(
+        "image_id",
+        F.size("audio_feat").alias("n_bands"),
+        F.round(
+            F.aggregate("audio_feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4
+        ).alias("energy_sum"),
+    )
+
+
+def _crawl_wave_e2e(spark, sf_dir):
+    """End-to-end wave loop: bootstrap seeds, run 2 waves over the
+    synthetic corpus, return the crawl order ledger (rows-only; full
+    parity vs the single-threaded oracle is tests/test_crawl_parity.py)."""
+    import tempfile
+
+    from literature_crawler_spark.plans.crawl import CrawlEngine
+    from literature_crawler_spark.plans.state import SnapshotStore
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="crawl_e2e_"))
+    pages = syn.generate_pages(spark, 300, 10, with_images=False)
+    eng = CrawlEngine(
+        spark, store, pages,
+        robots=syn.generate_robots(spark),
+        politeness=syn.generate_politeness(spark, 10, default_budget=8),
+    )
+    eng.bootstrap(syn.generate_seeds(spark, 40, 300, 10))
+    eng.run_wave(1)
+    eng.run_wave(2)
+    return eng.crawl_order().select("wave", "seq", "host", "canon_url").orderBy("seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1,
@@ -329,12 +583,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_distribution": _doc_lang_distribution,
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "ann_cosine_topk": _ann_cosine_topk,
-        # non-SQL-expressible (hash functions / binary codec / LSH planes
-        # have no DuckDB twin) -> driver records rows-only checks:
+        "doc_embedding_near_dups": _doc_embedding_near_dups,
+        "asset_figure_preview_pairs": _asset_figure_preview_pairs,
+        "dim_link_counts": _dim_link_counts,
+        "steps_natural_order": _steps_natural_order,
+        "publish_time_formats": _publish_time_formats,
+        "time_window_split": _time_window_split,
+        "doi_extraction": _doi_extraction,
+        "url_classify": _url_classify,
+        "max_id_assignment": _max_id_assignment,
+        "compress_roundtrip": _compress_roundtrip,
+        # non-SQL-expressible (hash functions / binary codec / LSH planes /
+        # k-means / RIS files have no DuckDB twin) -> rows-only checks:
         "doc_minhash_lsh": _doc_minhash_lsh,
         "doc_simhash": _doc_simhash,
         "image_decode_stats": _image_decode_stats,
         "embedding_lsh_topk": _embedding_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "ris_seed_parse": _ris_seed_parse,
+        "doc_fingerprint": _doc_fingerprint,
+        "image_resize_stats": _image_resize_stats,
+        "video_frame_sample": _video_frame_sample,
+        "audio_feature_extract": _audio_feature_extract,
+        "crawl_wave_e2e": _crawl_wave_e2e,
     }
 
 
@@ -522,6 +793,106 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "doc_embedding_near_dups": """
+            WITH both_t AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id % 25 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+            FROM both_t a JOIN both_t b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        "asset_figure_preview_pairs": """
+            WITH a AS (
+              SELECT doc_id AS asset_id,
+                     'oss://figs/f' || CAST(doc_id // 2 AS VARCHAR) ||
+                     CASE WHEN doc_id % 2 = 0 THEN '_full.png' ELSE '_thumb.png' END AS oss_path
+              FROM documents)
+            SELECT 'f' || CAST(f.asset_id // 2 AS VARCHAR) AS stem,
+                   f.asset_id AS full_id, f.oss_path AS full_path,
+                   p.asset_id AS preview_id, p.oss_path AS preview_path
+            FROM a f LEFT JOIN a p ON p.asset_id = f.asset_id + 1
+            WHERE f.asset_id % 2 = 0
+        """,
+        "dim_link_counts": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS name
+              FROM documents WHERE doc_id < 100)
+            SELECT name, count(*) AS n_links FROM w
+            WHERE name IS NOT NULL AND trim(name) <> ''
+            GROUP BY name
+        """,
+        "steps_natural_order": """
+            SELECT doc_id,
+                   'step ' || CAST(doc_id % 25 AS VARCHAR) || ' rev' || CAST(doc_id AS VARCHAR) AS label,
+                   CAST(row_number() OVER (ORDER BY doc_id % 25, doc_id) AS INT) AS rnk
+            FROM documents
+        """,
+        "publish_time_formats": """
+            SELECT o_orderkey,
+                   CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+                   strftime(CAST(o_orderdate AS TIMESTAMP), '%-d %B %Y') AS pub_date,
+                   CAST(year(o_orderdate) AS INT) AS pub_year
+            FROM orders WHERE o_orderkey < 1000
+        """,
+        "time_window_split": """
+            WITH s AS (
+              SELECT CAST(row_number() OVER (ORDER BY win_start) - 1 AS INT) AS win_id,
+                     win_start,
+                     least(win_start + INTERVAL 10 DAY, TIMESTAMP '1995-03-12') AS win_end
+              FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-12',
+                                   INTERVAL 10 DAY) t(win_start)
+              WHERE win_start < TIMESTAMP '1995-03-12')
+            SELECT win_id, win_start, win_end FROM s
+        """,
+        "doi_extraction": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'see https://doi.org/10.1038/sx' || CAST(doc_id AS VARCHAR) || ' end'
+                  WHEN 1 THEN 'ref 10.1145/abc.' || CAST(doc_id AS VARCHAR) || ', tail'
+                  ELSE 'no doi here' END AS txt
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN lower(regexp_extract(txt, 'doi\\.org/(10\\.\\d{4,9}/\\S+)', 1))
+                        WHEN doc_id % 3 = 1
+                        THEN lower(regexp_extract(txt, '(10\\.\\d{4,9}/[-._;()/:A-Za-z0-9]+)', 1))
+                        ELSE NULL END AS doi
+            FROM t
+        """,
+        "url_classify": f"""
+            WITH {urls_cte},
+            u2 AS (SELECT event_id,
+                          url || CASE event_type WHEN 'view' THEN '.pdf'
+                                                 WHEN 'purchase' THEN '.html'
+                                                 ELSE '' END AS url2
+                   FROM ev),
+            x AS (SELECT event_id, url2,
+                         lower(regexp_extract(split_part(split_part(url2, '#', 1), '?', 1),
+                                              '\\.([A-Za-z0-9]{{1,5}})$', 1)) AS ext
+                  FROM u2)
+            SELECT event_id, ext,
+                   ext IN ('pdf','png','jpg','jpeg','gif','svg','tif','tiff','webp',
+                           'mp4','avi','mov','csv','tsv','txt','xls','xlsx','doc',
+                           'docx','zip','gz') AS is_whitelisted,
+                   (url2 LIKE '%/ads/%' OR url2 LIKE '%doi.org%') AS blocked
+            FROM x
+        """,
+        "max_id_assignment": """
+            WITH mx AS (SELECT greatest(max(c_custkey), 19999) AS mx
+                        FROM customer WHERE c_custkey <= 100)
+            SELECT c_name,
+                   CAST(mx + row_number() OVER (ORDER BY c_name) AS BIGINT) AS new_id
+            FROM customer, mx
+            WHERE c_custkey > 100 AND c_custkey <= 200
+        """,
+        "compress_roundtrip": """
+            SELECT doc_id, text FROM documents WHERE doc_id < 200
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

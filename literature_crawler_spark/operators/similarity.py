@@ -140,6 +140,123 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _l2_expr(vec_col: str, centroid: list[float]):
+    """Squared L2 distance to a literal centroid — one codegen'd projection."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cell_expr(vec_col: str, centroids: list[list[float]]):
+    """0-based index of the nearest centroid (first-min tie-break,
+    deterministic). Centroids are literals, so assignment is a shuffle-free
+    map stage over the corpus."""
+    dists = F.array(*[_l2_expr(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    n_cells: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 1.0,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Seeds = the first ``n_cells`` vectors in ``id_col`` order (stable across
+    runs/executors). Each iteration: literal-centroid assignment (map-only)
+    -> element-wise mean via ``posexplode`` + groupBy(cell, pos) avg. Only
+    ``n_cells x dim`` doubles ever reach the driver. For huge corpora fit on
+    ``fit_fraction`` (seeded sample); assignment of the full corpus stays a
+    map stage either way.
+    """
+    fit = corpus if fit_fraction >= 1.0 else corpus.sample(fit_fraction, seed=seed)
+    fit = fit.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cents = [r["_v"] for r in fit.orderBy("_id").limit(n_cells).collect()]
+    cents = [list(map(float, v)) for v in cents]
+    for _ in range(n_iter):
+        assigned = fit.withColumn("cell", _assign_cell_expr("_v", cents))
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        by_cell = {r["cell"]: list(map(float, r["centroid"])) for r in means}
+        cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]  # keep empty cells
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Tag every corpus row with its IVF cell — shuffle-free (centroids are
+    literals). At deploy, write the corpus partitioned by ``cell`` so probes
+    prune files."""
+    return corpus.withColumn(cell_col, _assign_cell_expr(vec_col, centroids))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, each query probes
+    its ``n_probe`` nearest cells and scores only those corpus rows.
+
+    Plan shape at scale: corpus assignment is a map stage; the probe list
+    (queries x n_probe, small) broadcasts into the cell equi-join, so the
+    corpus is never shuffled — read, filtered by cell, scored, then a
+    window top-k on the ~corpus/n_cells*n_probe candidate slice.
+    ``n_probe = n_cells`` degenerates to exact brute force.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = kmeans_cells(corpus, n_cells, n_iter, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+        centroids, "c_vec",
+    )
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qd = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id", "q_vec", "cell",
+        F.aggregate(
+            F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = qd.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") <= n_probe)
+    cand = assigned.join(F.broadcast(probes.select("query_id", "q_vec", "cell")), "cell")
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -129,6 +129,45 @@ def generate_pages(
     return spark.range(0, n_pages, numPartitions=n_parts).mapInPandas(gen, PAGES_SCHEMA)
 
 
+VIDEOS_SCHEMA = (
+    "video_id string, bytes binary, n_frames int, w int, h int, fmt string"
+)
+
+
+def generate_videos(
+    spark: SparkSession,
+    n_videos: int = 50,
+    n_frames: int = 6,
+    side: int = 16,
+    fmt: str = "png",
+) -> DataFrame:
+    """Deterministic fake-codec video corpus (FVID container of FIMG
+    frames) — the multimodal frame-sampling test bed. Same shape as the
+    pages generator: distributed mapInPandas over spark.range."""
+    from literature_crawler_spark.operators.images import encode_video
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                vid = f"vid-{i:08d}"
+                frames = [
+                    pixels_for_id(f"{vid}/f{j}", side, side) for j in range(n_frames)
+                ]
+                rows.append(
+                    (vid, encode_video(frames, fmt), n_frames, side, side, fmt)
+                )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "bytes", "n_frames", "w", "h", "fmt"]
+            )
+
+    n_parts = max(4, min(32, n_videos // 100 or 4))
+    return spark.range(0, n_videos, numPartitions=n_parts).mapInPandas(
+        gen, VIDEOS_SCHEMA
+    )
+
+
 def generate_seeds(
     spark: SparkSession, n_seeds: int = 100, n_pages: int = 5000, n_hosts: int = 50
 ) -> DataFrame:

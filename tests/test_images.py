@@ -81,3 +81,43 @@ def test_resize(spark):
 def test_external_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         im.decode_external_format(b"\xff\xd8\xff")
+
+
+def test_video_roundtrip_and_frame_sampling(spark):
+    vids = syn.generate_videos(spark, 12, n_frames=6, side=12)
+    out = im.sample_video_frames(
+        vids.select("video_id", "bytes"), "bytes", "video_id", stride=2, max_frames=3
+    )
+    rows = out.collect()
+    # 6 frames, stride 2 -> indices 0,2,4 per video
+    assert len(rows) == 12 * 3
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.video_id, []).append(r)
+    for vid, frames in by_vid.items():
+        assert sorted(f.frame_idx for f in frames) == [0, 2, 4]
+        for f in frames:
+            assert f.n_frames == 6 and (f.w, f.h) == (12, 12)
+            px, w, h, _ = im.decode_image(f.frame)
+            assert px is not None and (w, h) == (12, 12)
+            assert f.phash == im.phash64_pixels(px) - (1 << 64) * (im.phash64_pixels(px) >= 1 << 63)
+
+
+def test_video_decode_garbage_is_empty():
+    assert im.decode_video(b"nope") == []
+    assert im.decode_video(None) == []
+    assert im.decode_video(im.VIDEO_MAGIC + (5).to_bytes(2, "big") + b"\x00") == []
+
+
+def test_audio_features_deterministic_shape(spark):
+    pages = syn.generate_pages(spark, 10, 4, with_images=True)
+    f1 = im.audio_features(pages.select("image_id", "bytes"), "bytes", n_bands=16)
+    rows = {r.image_id: r.audio_feat for r in f1.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    rows2 = {r.image_id: r.audio_feat for r in f1.collect()}
+    assert rows == rows2
+
+
+def test_audio_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        im.decode_audio(b"RIFF")

@@ -71,3 +71,26 @@ def test_embedding_near_dup_pairs(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(df, dim=4, threshold=0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_ivf_topk_recall_and_exactness(spark, emb):
+    queries = emb.limit(8)
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    # full probe (n_probe == n_cells) degenerates to exact brute force
+    full = sim.ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4, n_iter=1)
+    assert {(r.query_id, r.vec_id) for r in full.collect()} == exact_set
+    # pruned probe keeps decent recall and always finds the self-match
+    pruned = sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, n_iter=2)
+    pruned_set = {(r.query_id, r.vec_id) for r in pruned.collect()}
+    recall = len(exact_set & pruned_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    for r in queries.collect():
+        assert (r.vec_id, r.vec_id) in pruned_set
+
+
+def test_kmeans_cells_deterministic(spark, emb):
+    c1 = sim.kmeans_cells(emb, n_cells=4, n_iter=2)
+    c2 = sim.kmeans_cells(emb, n_cells=4, n_iter=2)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == len(emb.first().embedding)
