@@ -540,6 +540,51 @@ def _audio_feature_extract(spark, sf_dir):
     )
 
 
+def _section_collect_map(spark, sf_dir):
+    """A3: group-by-section ordered accumulation (the reference's manual
+    dict-of-lists per section, protocol_io_util.py:1764-1773) as
+    groupBy + sort_array(collect_list))."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+        ).alias("doc_ids"),
+    )
+
+
+def _union_bucket_ids(spark, sf_dir):
+    """§2.6 set ops: per-bucket id-list union (the reference's
+    list.__iadd__ accumulation, protocol_io_crawl.py:62-81) as
+    unionByName + distinct, plus the set-difference via anti-join."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("event_id")
+    b = ev.filter(F.col("value") > 50).select("event_id")
+    fail = ev.filter(F.col("event_type") == "error").select("event_id")
+    return a.unionByName(b).distinct().join(fail, "event_id", "left_anti")
+
+
+def _doc_render_markdown(spark, sf_dir):
+    """M6: Draft.js-style steps JSON -> markdown; ordering is Catalyst
+    (array_sort on numeric key), assembly is one Arrow-batched pandas UDF.
+    Rows-only (string assembly has no SQL twin)."""
+    from literature_crawler_spark.operators import render as rn
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    steps_json = F.concat(
+        F.lit('[{"number":"2","title":"mix","blocks":[{"type":"text","text":"'),
+        F.substring("text", 1, 20),
+        F.lit('"}]},{"number":"10","title":"heat","blocks":[{"type":"note","text":"t'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}]},{"number":"1","blocks":[{"type":"link","text":"ref","url":"https://e.org/'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}]}]'),
+    )
+    out = rn.render_documents(d.select("doc_id", steps_json.alias("steps")), "steps")
+    return out.select("doc_id", "content_md")
+
+
 def _crawl_wave_e2e(spark, sf_dir):
     """End-to-end wave loop: bootstrap seeds, run 2 waves over the
     synthetic corpus, return the crawl order ledger (rows-only; full
@@ -593,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_classify": _url_classify,
         "max_id_assignment": _max_id_assignment,
         "compress_roundtrip": _compress_roundtrip,
+        "section_collect_map": _section_collect_map,
+        "union_bucket_ids": _union_bucket_ids,
         # non-SQL-expressible (hash functions / binary codec / LSH planes /
         # k-means / RIS files have no DuckDB twin) -> rows-only checks:
         "doc_minhash_lsh": _doc_minhash_lsh,
@@ -601,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": _embedding_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ris_seed_parse": _ris_seed_parse,
+        "doc_render_markdown": _doc_render_markdown,
         "doc_fingerprint": _doc_fingerprint,
         "image_resize_stats": _image_resize_stats,
         "video_frame_sample": _video_frame_sample,
@@ -893,6 +941,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compress_roundtrip": """
             SELECT doc_id, text FROM documents WHERE doc_id < 200
+        """,
+        "section_collect_map": """
+            SELECT source, count(*) AS n_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+            FROM documents GROUP BY source
+        """,
+        "union_bucket_ids": """
+            WITH u AS (
+              SELECT event_id FROM events WHERE event_type = 'view'
+              UNION
+              SELECT event_id FROM events WHERE value > 50
+            )
+            SELECT event_id FROM u
+            WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_type = 'error')
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

