@@ -22,7 +22,7 @@ import base64
 import zlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -90,6 +90,65 @@ def link_table(
     ``literature_authors``/``literature_keywords`` link inserts)."""
     pairs = facts.select(F.col(fact_id), F.explode(values_col).alias(name_col))
     return pairs.join(F.broadcast(dim), name_col, "inner").select(fact_id, id_col)
+
+
+@F.pandas_udf(T.StringType())
+def _replace_many_udf(text: pd.Series, repl: pd.Series) -> pd.Series:
+    """Apply [(original, replacement)] pair lists to each text — plain
+    str.replace per pair, longest original first so prefixes don't clobber
+    (mirrors the reference's sequential replace loop)."""
+    out = []
+    for t, pairs in zip(text, repl):
+        if t is None or pairs is None:
+            out.append(t)
+            continue
+        for p in sorted(pairs, key=lambda x: -len(x["original_path"] or "")):
+            o, n = p["original_path"], p["oss_path"]
+            if o:
+                t = t.replace(o, n or "")
+        out.append(t)
+    return pd.Series(out)
+
+
+def rewrite_asset_urls(
+    docs: DataFrame,
+    assets: DataFrame,
+    key: str = "doi",
+    text_col: str = "content_md",
+    original_col: str = "original_path",
+    oss_col: str = "oss_path",
+    order_col: str | None = None,
+) -> DataFrame:
+    """J3: per-document original->stored URL rewrite in rendered text.
+
+    The reference fetches each doi's resources and string-replaces
+    original URLs with object-store URLs one row at a time
+    (``protocol_io_clean.py:123``; ``text_deal.py:300-319``
+    ``get_replace_resource``, first-seen dedup included). Here: aggregate
+    the replacement pairs per key (one shuffle on ``key``), join once, and
+    apply all of a document's replacements in one Arrow batch pass.
+    Duplicate ``original_col`` rows dedup to one winner per key, mirroring
+    the reference's set() first-seen dedup; DataFrames carry no row order,
+    so pass an explicit position column as ``order_col`` where the
+    reference's document order matters (defaults to ``oss_col`` for a
+    deterministic pick).
+    """
+    w = Window.partitionBy(key, original_col).orderBy(order_col or oss_col)
+    pairs = (
+        assets.select(
+            key,
+            F.col(original_col).alias("original_path"),
+            F.col(oss_col).alias("oss_path"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(key)
+        .agg(F.collect_list(F.struct("original_path", "oss_path")).alias("_repl"))
+    )
+    joined = docs.join(pairs, key, "left")
+    return joined.withColumn(
+        text_col, _replace_many_udf(F.col(text_col), F.col("_repl"))
+    ).drop("_repl")
 
 
 @F.pandas_udf(T.StringType())

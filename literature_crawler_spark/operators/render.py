@@ -39,6 +39,8 @@ STEP_SCHEMA = T.ArrayType(
                             T.StructField("type", T.StringType()),
                             T.StructField("text", T.StringType()),
                             T.StructField("url", T.StringType()),
+                            T.StructField("qty", T.StringType()),
+                            T.StructField("unit_id", T.StringType()),
                         ]
                     )
                 ),
@@ -67,11 +69,52 @@ def ordered_steps(steps: Column) -> Column:
     return F.transform(F.array_sort(keyed), lambda x: x["s"])
 
 
+def resolve_units(steps: Column, units_map: Column) -> Column:
+    """J7: quantity-block unit resolution as a Catalyst map lookup.
+
+    The reference scans a per-document units list with a linear
+    ``next(u for u in units if u['id']==unit_key)`` inside every quantity
+    renderer (``protocol_io_util.py:238-247,250-260,296-306``). Here the
+    units live in a ``MapType(string,string)`` column and each quantity
+    block's text becomes ``qty unit_name`` via ``element_at`` — JVM-side,
+    before the render UDF ever runs (unknown unit ids fall back to the
+    raw id, mirroring the reference's silent-miss behavior)."""
+    return F.transform(
+        steps,
+        lambda s: F.struct(
+            s["number"].alias("number"),
+            s["title"].alias("title"),
+            F.transform(
+                s["blocks"],
+                lambda b: F.struct(
+                    b["type"].alias("type"),
+                    F.when(
+                        b["type"] == "quantity",
+                        F.concat_ws(
+                            " ",
+                            b["qty"],
+                            F.coalesce(
+                                F.element_at(units_map, b["unit_id"]), b["unit_id"]
+                            ),
+                        ),
+                    )
+                    .otherwise(b["text"])
+                    .alias("text"),
+                    b["url"].alias("url"),
+                    b["qty"].alias("qty"),
+                    b["unit_id"].alias("unit_id"),
+                ),
+            ).alias("blocks"),
+        ),
+    )
+
+
 _BLOCK_RENDERERS = {
     "heading": lambda b: f"### {b.get('text') or ''}",
     "text": lambda b: b.get("text") or "",
     "list": lambda b: "- " + (b.get("text") or ""),
     "note": lambda b: f"> Note: {b.get('text') or ''}",
+    "quantity": lambda b: b.get("text") or "",  # resolved by resolve_units (J7)
     "link": lambda b: f"[{b.get('text') or b.get('url') or ''}]({b.get('url') or ''})",
     "image": lambda b: f"![{b.get('text') or ''}]({b.get('url') or ''})",
 }
@@ -110,11 +153,76 @@ def render_markdown_udf(steps_json: pd.Series) -> pd.Series:
     return steps_json.map(go)
 
 
-def render_documents(df: DataFrame, steps_json_col: str) -> DataFrame:
-    """Adds ``content_md``: parse -> order (Catalyst) -> render (Arrow UDF).
+def render_documents(
+    df: DataFrame, steps_json_col: str, units_map_col: str | None = None
+) -> DataFrame:
+    """Adds ``content_md``: parse -> order -> resolve units (all Catalyst)
+    -> render (Arrow UDF).
 
-    The ordering runs JVM-side so the Python stage only does string
-    assembly on already-sorted structs.
+    The ordering and unit lookups run JVM-side so the Python stage only
+    does string assembly on already-sorted, already-resolved structs.
     """
-    ordered = ordered_steps(parse_steps(F.col(steps_json_col)))
-    return df.withColumn("content_md", render_markdown_udf(F.to_json(ordered)))
+    steps = ordered_steps(parse_steps(F.col(steps_json_col)))
+    if units_map_col is not None:
+        steps = resolve_units(steps, F.col(units_map_col))
+    return df.withColumn("content_md", render_markdown_udf(F.to_json(steps)))
+
+
+# --------------------------------------------------- O4: bookmark tree ----
+
+_BOOKMARK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("level", T.IntegerType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("page", T.IntegerType()),
+        ]
+    )
+)
+
+
+def _nest_bookmarks(flat: list) -> list:
+    """(level,title,page) tuples -> nested children trees (reference PDF
+    TOC recursion, ``parse_pdf.py:236-262``). Iterative stack walk."""
+    root: list = []
+    stack: list[tuple[int, list]] = [(0, root)]
+    for item in flat or []:
+        d = item if isinstance(item, dict) else {
+            "level": item[0], "title": item[1], "page": item[2]
+        }
+        node = {
+            "title": d.get("title"),
+            "page": d.get("page"),
+            "children": [],
+        }
+        lvl = max(int(d.get("level") or 1), 1)
+        while len(stack) > 1 and stack[-1][0] >= lvl:
+            stack.pop()
+        stack[-1][1].append(node)
+        stack.append((lvl, node["children"]))
+    return root
+
+
+@F.pandas_udf(T.StringType())
+def bookmark_tree_udf(flat_json: pd.Series) -> pd.Series:
+    """JSON array of {level,title,page} -> JSON nested tree (single-document
+    scope, so a per-row scalar transform is the right altitude — O4)."""
+    def go(x):
+        if x is None:
+            return None
+        try:
+            flat = json.loads(x)
+        except (ValueError, TypeError):
+            return None
+        return json.dumps(_nest_bookmarks(flat))
+
+    return flat_json.map(go)
+
+
+def build_bookmark_trees(df: DataFrame, flat_col: str) -> DataFrame:
+    """Adds ``bookmark_tree`` (JSON) from a flat TOC column — either an
+    ``array<struct(level,title,page)>`` or a JSON string of the same."""
+    col = F.col(flat_col)
+    if isinstance(df.schema[flat_col].dataType, T.ArrayType):
+        col = F.to_json(col)
+    return df.withColumn("bookmark_tree", bookmark_tree_udf(col))

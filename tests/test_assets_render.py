@@ -93,3 +93,54 @@ def test_render_handles_garbage(spark):
     rows = render.render_documents(df, "steps_json").collect()
     # from_json yields null steps -> null markdown, no crash
     assert all(r.content_md is None or isinstance(r.content_md, str) for r in rows)
+
+
+def test_resolve_units_quantity_blocks(spark):
+    steps = (
+        '[{"number":"1","title":null,"blocks":['
+        '{"type":"quantity","text":null,"url":null,"qty":"5","unit_id":"u1"},'
+        '{"type":"quantity","text":null,"url":null,"qty":"2","unit_id":"missing"},'
+        '{"type":"text","text":"plain","url":null,"qty":null,"unit_id":null}]}]'
+    )
+    df = spark.createDataFrame([(steps, {"u1": "ml", "u2": "g"})], "steps string, units map<string,string>")
+    out = render.render_documents(df, "steps", units_map_col="units").collect()[0].content_md
+    assert "5 ml" in out            # J7 map lookup
+    assert "2 missing" in out       # unknown id falls back to raw id
+    assert "plain" in out
+
+
+def test_bookmark_tree_nesting(spark):
+    flat = (
+        '[{"level":1,"title":"A","page":1},{"level":2,"title":"A.1","page":2},'
+        '{"level":3,"title":"A.1.a","page":3},{"level":2,"title":"A.2","page":5},'
+        '{"level":1,"title":"B","page":9}]'
+    )
+    df = spark.createDataFrame([(flat,)], "toc string")
+    got = json.loads(render.build_bookmark_trees(df, "toc").collect()[0].bookmark_tree)
+    assert [n["title"] for n in got] == ["A", "B"]
+    a = got[0]
+    assert [c["title"] for c in a["children"]] == ["A.1", "A.2"]
+    assert a["children"][0]["children"][0]["title"] == "A.1.a"
+    assert got[1]["children"] == []
+
+
+def test_rewrite_asset_urls(spark):
+    docs = spark.createDataFrame(
+        [("d1", "see http://orig/a.png and http://orig/a.png.big here"),
+         ("d2", "nothing to do"),
+         ("d3", "untouched http://orig/zzz")],
+        "doi string, content_md string",
+    )
+    asset_rows = spark.createDataFrame(
+        [("d1", "http://orig/a.png", "oss://b/a.png"),
+         ("d1", "http://orig/a.png.big", "oss://b/a_big.png"),
+         ("d1", "http://orig/a.png", "oss://zzz/dup-later.png")],  # first-seen wins
+        "doi string, original_path string, oss_path string",
+    )
+    got = {
+        r.doi: r.content_md
+        for r in assets.rewrite_asset_urls(docs, asset_rows).collect()
+    }
+    assert got["d1"] == "see oss://b/a.png and oss://b/a_big.png here"
+    assert got["d2"] == "nothing to do"
+    assert got["d3"] == "untouched http://orig/zzz"
