@@ -127,6 +127,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
+        _materialize(df)  # warm: parquet footer reads + codegen JIT tier-up
         t0 = time.time()
         _materialize(df)
         timings[name] = round(time.time() - t0, 3)
