@@ -540,6 +540,38 @@ def _audio_feature_extract(spark, sf_dir):
     )
 
 
+def _html_field_extract(spark, sf_dir):
+    """2.7 HTML extraction (the reference's BeautifulSoup selectors) as
+    pure regexp expressions — title, meta, hrefs, ld+json, visible text —
+    inside whole-stage codegen, no Python."""
+    from literature_crawler_spark.functions import html as H
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title> Doc "), F.col("doc_id").cast("string"),
+            F.lit(' </title><meta name="description" content="about '),
+            F.col("doc_id").cast("string"),
+            F.lit('"><script type="application/ld+json">{"id": '),
+            F.col("doc_id").cast("string"),
+            F.lit('}</script></head><body><p>'),
+            F.substring("text", 1, 30),
+            F.lit('</p><a href="https://a.org/p/'), F.col("doc_id").cast("string"),
+            F.lit('">x</a><a href="/rel/'), F.col("doc_id").cast("string"),
+            F.lit('">y</a></body></html>'),
+        ).alias("html"),
+    )
+    return d.select(
+        "doc_id",
+        H.extract_title(F.col("html")).alias("title"),
+        H.extract_meta(F.col("html"), "description").alias("descr"),
+        F.size(H.extract_links(F.col("html"))).alias("n_links"),
+        F.element_at(H.extract_links(F.col("html")), 1).alias("first_link"),
+        H.extract_ld_json(F.col("html")).alias("ld_json"),
+        H.strip_tags(F.col("html")).alias("visible"),
+    )
+
+
 def _section_collect_map(spark, sf_dir):
     """A3: group-by-section ordered accumulation (the reference's manual
     dict-of-lists per section, protocol_io_util.py:1764-1773) as
@@ -640,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip": _compress_roundtrip,
         "section_collect_map": _section_collect_map,
         "union_bucket_ids": _union_bucket_ids,
+        "html_field_extract": _html_field_extract,
         # non-SQL-expressible (hash functions / binary codec / LSH planes /
         # k-means / RIS files have no DuckDB twin) -> rows-only checks:
         "doc_minhash_lsh": _doc_minhash_lsh,
@@ -946,6 +979,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
             FROM documents GROUP BY source
+        """,
+        "html_field_extract": """
+            WITH d AS (
+              SELECT doc_id,
+                '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+                ' </title><meta name="description" content="about ' || CAST(doc_id AS VARCHAR) ||
+                '"><script type="application/ld+json">{"id": ' || CAST(doc_id AS VARCHAR) ||
+                '}</script></head><body><p>' || substr(text, 1, 30) ||
+                '</p><a href="https://a.org/p/' || CAST(doc_id AS VARCHAR) ||
+                '">x</a><a href="/rel/' || CAST(doc_id AS VARCHAR) ||
+                '">y</a></body></html>' AS html
+              FROM documents)
+            SELECT doc_id,
+              nullif(trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')), '') AS title,
+              nullif(regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"'']*)["'']', 1), '') AS descr,
+              CAST(len(regexp_extract_all(html, '(?i)href=["'']([^"''#][^"'']*)["'']', 1)) AS INT) AS n_links,
+              list_extract(regexp_extract_all(html, '(?i)href=["'']([^"''#][^"'']*)["'']', 1), 1) AS first_link,
+              nullif(trim(regexp_extract(html, '(?is)<script[^>]*type=["'']application/ld\\+json["''][^>]*>(.*?)</script>', 1)), '') AS ld_json,
+              trim(regexp_replace(regexp_replace(regexp_replace(html,
+                    '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<[^>]+>', ' ', 'g'),
+                    '\\s+', ' ', 'g')) AS visible
+            FROM d
         """,
         "union_bucket_ids": """
             WITH u AS (

@@ -74,21 +74,25 @@ def minhash_lsh_pairs(
         F.col("_sh"),
         hashing.minhash_signature(F.col("_sh"), n_perm).alias("_sig"),
     )
+    # Shuffle-payload discipline: the band join ships ONLY (id, band keys) —
+    # n_bands x 24 B/doc — never the shingle arrays (KBs/doc, and exploding
+    # them n_bands times would multiply that again). Shingles re-join only
+    # onto the (rare) candidate pairs for exact-Jaccard verification.
     banded = sig.select(
-        "_id", "_sh", F.explode(hashing.lsh_bands(F.col("_sig"), n_bands, rows)).alias("_band")
-    ).select("_id", "_sh", "_band.band", "_band.band_hash")
+        "_id", F.explode(hashing.lsh_bands(F.col("_sig"), n_bands, rows)).alias("_band")
+    ).select("_id", "_band.band", "_band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingles = sig.select("_id", "_sh")
+    cand = (
+        cand.join(shingles.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(shingles.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

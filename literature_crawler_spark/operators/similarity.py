@@ -122,15 +122,25 @@ def lsh_topk(
     with the query in at least one of ``n_tables`` hash tables. The scale
     path: an equi-join on (table, bucket) instead of a cross join — shuffle
     ~ corpus x n_tables rows, independent of query count."""
-    qb = _add_multi_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", dim, n_planes, n_tables, seed=42,
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    # bucket join ships ids + bucket keys only (24 B x n_tables per vector);
+    # the dim x 8 B vectors join back onto the deduped candidate pairs —
+    # at 10^9-corpus scale this is the difference between shuffling
+    # n_tables x 0.5 KB/vec and n_tables x 24 B/vec.
+    qb = _add_multi_buckets(q, "q_vec", dim, n_planes, n_tables, seed=42).select(
+        "query_id", "tbl", "bucket"
     )
-    cb = _add_multi_buckets(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
-        "c_vec", dim, n_planes, n_tables, seed=42,
+    cb = _add_multi_buckets(c, "c_vec", dim, n_planes, n_tables, seed=42).select(
+        "vec_id", "tbl", "bucket"
     )
-    cand = qb.join(cb, ["tbl", "bucket"]).dropDuplicates(["query_id", "vec_id"])
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+        .join(F.broadcast(q), "query_id")
+        .join(c, "vec_id")
+    )
     scored = cand.select(
         "query_id",
         "vec_id",

@@ -229,6 +229,27 @@ class CrawlEngine:
             ),
             mode="append", wave=wave,
         )
+        # per-partition lineage (north rule): which fetch shard (politeness
+        # salt) scheduled how much, and which url_hash bucket admitted how
+        # many new URLs — the partition-level audit trail a 1000-executor
+        # run needs to localize skew/dedup anomalies per wave.
+        fetch_lineage = scheduled.groupBy("salt").agg(
+            F.count("*").alias("n"), F.countDistinct("host").alias("n_hosts")
+        ).select(
+            F.lit(wave).alias("wave"), F.lit("fetch_salt").alias("kind"),
+            F.col("salt").cast("int").alias("key"), "n", "n_hosts",
+        )
+        dedup_lineage = new_rows.groupBy("bucket").agg(
+            F.count("*").alias("n")
+        ).select(
+            F.lit(wave).alias("wave"), F.lit("dedup_bucket").alias("kind"),
+            F.col("bucket").cast("int").alias("key"), "n",
+            F.lit(None).cast("long").alias("n_hosts"),
+        )
+        self.store.commit(
+            "lineage", fetch_lineage.unionByName(dedup_lineage),
+            mode="append", wave=wave,
+        )
         scheduled.unpersist()
         fetched.unpersist()
         new_rows.unpersist()

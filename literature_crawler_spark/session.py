@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Cap GC parallelism: in local mode G1 defaults to ~5/8 of the
+        # machine's cores for GC threads ON TOP of the worker threads,
+        # oversubscribing the box under allocation-heavy string workloads —
+        # measured 24% faster frontier kernel at local[32] with the cap.
+        # (On a real cluster each executor JVM sizes GC to its own cores.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

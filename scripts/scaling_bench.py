@@ -24,6 +24,7 @@ def run(cpus: int, sf_dir: str, n_urls: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_URLS=str(n_urls),
+        SPARK_GRAFT_BENCH_REPS="3",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -34,7 +35,7 @@ def run(cpus: int, sf_dir: str, n_urls: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
     results = {c: run(c, sf_dir, n_urls) for c in (4, 8, 16, 32)}
     fr = {c: r["frontier"] for c, r in results.items()}
     suite = {c: round(sum(r["queries"].values()), 2) for c, r in results.items()}

@@ -60,10 +60,28 @@ def test_rollback_then_rerun(spark, corpus, tmp_path):
 
     # rewind every state table to its wave-1 snapshot, then re-run wave 2
     store = eng.store
-    for table in ("frontier", "seen", "order", "outcomes", "metrics"):
+    for table in ("frontier", "seen", "order", "outcomes", "metrics", "lineage"):
         keep = [m["id"] for m in store.snapshots(table) if (m["wave"] or 0) <= 1]
         store.truncate_after(table, max(keep))
     eng2 = _mk_engine(spark, corpus, p)
     assert eng2.last_wave() == 1
     eng2.run(max_waves=1)
     assert _state(eng2) == want
+
+
+def test_per_partition_lineage(spark, corpus, tmp_path):
+    """Each wave commits fetch-shard and dedup-bucket lineage whose totals
+    reconcile with the wave metrics (north rule: per-partition lineage)."""
+    eng = _mk_engine(spark, corpus, str(tmp_path / "lin"))
+    metrics = eng.run(corpus["seeds"], max_waves=2)
+    lineage = eng.store.read(spark, "lineage")
+    assert lineage is not None
+    rows = lineage.collect()
+    by_wave_kind = {}
+    for r in rows:
+        by_wave_kind.setdefault((r.wave, r.kind), 0)
+        by_wave_kind[(r.wave, r.kind)] += r.n
+    for m in metrics:
+        w = m["wave"]
+        assert by_wave_kind.get((w, "fetch_salt"), 0) == m["scheduled"]
+        assert by_wave_kind.get((w, "dedup_bucket"), 0) == m["new_urls"]

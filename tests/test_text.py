@@ -45,3 +45,33 @@ def test_fingerprint_normalization(spark):
     )
     got = [r[0] for r in df.select(tx.fingerprint64(F.col("t"))).collect()]
     assert got[0] == got[1] == got[2] != got[3]
+
+
+def test_html_extraction(spark):
+    from literature_crawler_spark.functions import html as H
+
+    doc = (
+        "<html><head><TITLE>A  Title\n here</TITLE>"
+        '<meta name="description" content="desc text">'
+        '<script type="application/ld+json"> {"x": 1} </script>'
+        "<style>p {color: red}</style></head>"
+        '<body><p>Hello <b>world</b></p><a href="https://a.org/1">l1</a>'
+        '<a href="#frag">skip</a><a href=\'/rel\'>l2</a></body></html>'
+    )
+    df = spark.createDataFrame([(doc,), ("<html><body>no meta</body></html>",)], ["html"])
+    rows = df.select(
+        H.extract_title(F.col("html")).alias("t"),
+        H.extract_meta(F.col("html"), "description").alias("d"),
+        H.extract_links(F.col("html")).alias("l"),
+        H.extract_ld_json(F.col("html")).alias("j"),
+        H.strip_tags(F.col("html")).alias("v"),
+    ).collect()
+    r = rows[0]
+    assert r.t == "A Title here"
+    assert r.d == "desc text"
+    assert r.l == ["https://a.org/1", "/rel"]  # '#frag' excluded
+    assert r.j == '{"x": 1}'
+    assert r.v == "A Title here Hello world l1 skip l2"
+    r2 = rows[1]
+    assert r2.t is None and r2.d is None and r2.l == [] and r2.j is None
+    assert r2.v == "no meta"
