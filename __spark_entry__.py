@@ -617,6 +617,23 @@ def _doc_render_markdown(spark, sf_dir):
     return out.select("doc_id", "content_md")
 
 
+def _robots_parse(spark, sf_dir):
+    """robots.txt grammar -> (host, pattern, allow) rules as one
+    split/window/join pass (rows-only; RFC 9309 group semantics are
+    unit-tested in tests/test_sources.py). Feeds apply_robots directly."""
+    from literature_crawler_spark.sources import robots as rb
+
+    bodies = spark.range(0, 50).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private"), F.col("id").cast("string"), F.lit("/\n"),
+            F.when(F.col("id") % 3 == 0, F.lit("Allow: /private-ok/\nCrawl-delay: 1\n")).otherwise(F.lit("")),
+            F.when(F.col("id") % 2 == 0, F.lit("\nUser-agent: badbot\nDisallow: /\n")).otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    return rb.parse_robots_txt(bodies).orderBy("host", "pattern")
+
+
 def _crawl_wave_e2e(spark, sf_dir):
     """End-to-end wave loop: bootstrap seeds, run 2 waves over the
     synthetic corpus, return the crawl order ledger (rows-only; full
@@ -682,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "ris_seed_parse": _ris_seed_parse,
         "doc_render_markdown": _doc_render_markdown,
+        "robots_parse": _robots_parse,
         "doc_fingerprint": _doc_fingerprint,
         "image_resize_stats": _image_resize_stats,
         "video_frame_sample": _video_frame_sample,

@@ -50,3 +50,75 @@ def test_bloom_no_false_negatives_and_fpp(spark):
     fresh = probes[~np.isin(probes, members)]
     fpp = bf.might_contain(fresh).mean()
     assert fpp < 0.03, fpp
+
+
+ROBOTS_BODY = """# comment line
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/   # trailing comment
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: badbot
+Disallow: /
+
+User-agent: mybot
+User-agent: otherbot
+Disallow: /mybot-only/
+"""
+
+
+def test_parse_robots_txt_groups(spark):
+    from literature_crawler_spark.sources import robots as rb
+
+    df = spark.createDataFrame(
+        [("h1.org", ROBOTS_BODY), ("h2.org", "User-agent: *\nDisallow:\n")],
+        "host string, body string",
+    )
+    star = {(r.host, r.pattern, r.allow) for r in rb.parse_robots_txt(df).collect()}
+    assert star == {
+        ("h1.org", "/private/", False),
+        ("h1.org", "/tmp/", False),
+        ("h1.org", "/private/ok", True),
+    }  # badbot/mybot groups excluded; blank Disallow on h2 -> no rules
+    mybot = {(r.host, r.pattern, r.allow) for r in rb.parse_robots_txt(df, agent="MyBot").collect()}
+    assert ("h1.org", "/mybot-only/", False) in mybot
+    assert ("h1.org", "/private/", False) in mybot  # '*' group still applies
+
+    delays = {(r.host, r.min_interval_ms) for r in rb.crawl_delay_of(df).collect()}
+    assert delays == {("h1.org", 2000)}
+
+
+def test_parse_robots_feeds_apply_robots(spark):
+    from literature_crawler_spark.operators import frontier as fr
+    from literature_crawler_spark.sources import robots as rb
+
+    bodies = spark.createDataFrame(
+        [("h1.example.org", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    )
+    rules = rb.parse_robots_txt(bodies)
+    cand = fr.canonicalize_candidates(
+        spark.createDataFrame(
+            [("https://h1.example.org/private/x",),
+             ("https://h1.example.org/pub/y",),
+             ("https://h2.example.org/private/z",)],
+            ["url"],
+        )
+    )
+    kept = {r.canon_url for r in fr.apply_robots(cand, rules).collect()}
+    assert kept == {
+        "https://h1.example.org/pub/y",
+        "https://h2.example.org/private/z",  # rule is host-scoped
+    }
+
+
+def test_stale_robots_ttl(spark):
+    from literature_crawler_spark.sources import robots as rb
+
+    cache = spark.createDataFrame(
+        [("h1", "2024-01-02 00:00:00"), ("h2", "2024-01-01 00:00:00"), ("h3", None)],
+        "host string, fetched_at string",
+    ).selectExpr("host", "CAST(fetched_at AS TIMESTAMP) AS fetched_at")
+    stale = {r.host for r in rb.stale_robots(cache, "2024-01-02 12:00:00", ttl_hours=24).collect()}
+    assert stale == {"h2", "h3"}
