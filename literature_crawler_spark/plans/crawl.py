@@ -76,6 +76,7 @@ class CrawlEngine:
         default_budget: int = pol.DEFAULT_BUDGET,
         n_buckets: int = fr.DEFAULT_N_BUCKETS,
         use_bloom: bool | str = "auto",
+        fetcher=None,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -84,6 +85,12 @@ class CrawlEngine:
         self.default_budget = default_budget
         self.n_buckets = n_buckets
         self.use_bloom = use_bloom
+        # Optional Arrow-UDF fetch path (operators.fetch.Fetcher): when set,
+        # waves fetch via mapInPandas over salt-spread partitions (the live
+        # deploy path) instead of hash-joining the pages corpus table. Both
+        # paths produce the identical fetched set on the synthetic corpus
+        # (tests/test_fetch.py).
+        self.fetcher = fetcher
         # the fetchable web: canonical url -> (host, links, caption, image_id)
         self.pages = pages.select(
             F.col("url").alias("page_url"),
@@ -143,12 +150,25 @@ class CrawlEngine:
             scheduled.unpersist()
             return {"wave": wave, "scheduled": 0, "done": True}
 
-        # 2. fetch: hash-join scheduled vs the pages corpus (the synthetic
-        #    stand-in for the HTTP fetch stage; at scale this is the
-        #    mapInPandas fetcher running per salt-spread partition)
-        fetched = scheduled.join(
-            self.pages, scheduled.canon_url == self.pages.page_url, "left"
-        ).persist()
+        # 2. fetch: either the Arrow-UDF fetcher over salt-spread partitions
+        #    (live deploy path) or a hash-join vs the pages corpus table
+        #    (cheaper when the "web" is itself a table, as in tests/bench)
+        if self.fetcher is not None:
+            from literature_crawler_spark.operators import fetch as fetch_mod
+
+            fetched = (
+                fetch_mod.fetch_extract(scheduled, self.fetcher)
+                .withColumn(
+                    "page_url",
+                    F.when(F.col("fetch_status") == "fetched", F.col("canon_url")),
+                )
+                .withColumn("page_host", F.col("host"))
+                .persist()
+            )
+        else:
+            fetched = scheduled.join(
+                self.pages, scheduled.canon_url == self.pages.page_url, "left"
+            ).persist()
         n_fetched = fetched.filter(F.col("page_url").isNotNull()).count()
 
         # 3. extract + canonicalize candidate links (posexplode keeps the

@@ -14,6 +14,7 @@ salted politeness scheduling required by the north rule.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,6 +44,19 @@ def _host_of_index(i: int, n_hosts: int) -> int:
 
 def _url_of_index(i: int, n_hosts: int) -> str:
     return f"https://h{_host_of_index(i, n_hosts)}.example.org/page/{i}"
+
+
+def page_index_of_url(url: str, n_hosts: int) -> int | None:
+    """Inverse of ``_url_of_index`` for canonical URLs: the page index, or
+    None if the URL is not a page of this corpus (wrong grammar or the
+    host doesn't match the index's assigned host)."""
+    m = re.match(r"https://h(\d+)\.example\.org/page/(\d+)$", url or "")
+    if not m:
+        return None
+    host, i = int(m.group(1)), int(m.group(2))
+    if _host_of_index(i, n_hosts) != host:
+        return None
+    return i
 
 
 def _caption_of_index(i: int) -> str:

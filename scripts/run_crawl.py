@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=50)
     ap.add_argument("--budget", type=int, default=10)
     ap.add_argument("--fresh", action="store_true", help="wipe state first")
+    ap.add_argument("--fetch", choices=["join", "udf"], default="join",
+                    help="fetch stage: pages-table hash-join or Arrow-UDF fetcher")
     args = ap.parse_args()
 
     # spark-submit owns master/executor config; only app-level knobs here
@@ -48,12 +50,18 @@ def main() -> None:
     if args.fresh:
         shutil.rmtree(args.state, ignore_errors=True)
     store = SnapshotStore(args.state)
+    fetcher = None
+    if args.fetch == "udf":
+        from literature_crawler_spark.operators import fetch as fetch_mod
+
+        fetcher = fetch_mod.make_synthetic_fetcher(args.pages, args.hosts)
     engine = CrawlEngine(
         spark,
         store,
         pages=syn.generate_pages(spark, args.pages, args.hosts, with_images=True),
         robots=syn.generate_robots(spark),
         politeness=syn.generate_politeness(spark, args.hosts, args.budget),
+        fetcher=fetcher,
     )
     seeds = None
     if engine.last_wave() is None:
