@@ -94,16 +94,24 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
     # Steady-state measurement: a 10^10-frontier crawl runs this exact
     # codegen for hours, so JIT tier-up (the first run of the regex-heavy
     # canonicalize stage can be 10-20x slower than warm) is amortized to
-    # zero. Warm each strategy with the full pipeline, then take the best
-    # of REPS timed runs.
-    spark.range(10).mapInPandas(lambda it: it, "id long").count()
-    for strat in (True, "auto"):
-        run_once(strat, max(n_urls // 4, 100_000))  # plan-identical warmup
+    # zero. Warm each strategy with the full pipeline, take the best of
+    # REPS timed runs, and clear the cache BETWEEN strategies — the Bloom
+    # path persists its probed candidates, and leaving those cached
+    # inflates the other strategy's times ~3x (measured).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    dt_bloom = min(run_once(True, n_urls) for _ in range(reps))
-    dt_bcast = min(run_once("auto", n_urls) for _ in range(reps))
+    spark.range(10).mapInPandas(lambda it: it, "id long").count()
+
+    def timed(strategy) -> float:
+        run_once(strategy, max(n_urls // 4, 100_000))  # plan-identical warmup
+        return min(run_once(strategy, n_urls) for _ in range(reps))
+
+    dt_bcast = timed("auto")
+    spark.catalog.clearCache()  # drop Bloom-path persists; re-pin seen
+    seen = seen.persist()
+    seen.count()
+    dt_bloom = timed(True)
     seen.unpersist()
-    spark.catalog.clearCache()  # drop the Bloom-path persists between runs
+    spark.catalog.clearCache()
     dt = min(dt_bloom, dt_bcast)
     return {
         "n_urls": n_urls,
