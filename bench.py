@@ -129,7 +129,7 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    n_urls = int(float(os.environ.get("SPARK_GRAFT_BENCH_URLS", 2_000_000 * cpus / 32)))
+    n_urls = int(float(os.environ.get("SPARK_GRAFT_BENCH_URLS", 8_000_000 * cpus / 32)))
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -35,7 +35,7 @@ def run(cpus: int, sf_dir: str, n_urls: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     results = {c: run(c, sf_dir, n_urls) for c in (2, 4, 8, 16, 32)}
     fr = {c: r["frontier"] for c, r in results.items()}
     suite = {c: round(sum(r["queries"].values()), 2) for c, r in results.items()}
