@@ -146,8 +146,11 @@ def _top_orders_per_customer(spark, sf_dir):
 
 
 def _customers_without_orders(spark, sf_dir):
+    """P6 anti-join. Restricted to recent orders so the result is non-empty
+    at every SF (an all-customers-have-orders fixture made the round-1
+    variant trivially green — a broken join key would still have passed)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -265,8 +268,15 @@ def _doc_lang_distribution(spark, sf_dir):
 
 
 def _doc_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=5, threshold=0.5)
+    """Exact n-gram Jaccard oracle with INJECTED near-duplicates (doc_id +
+    100000 = same text truncated by 12 chars) so the result is non-empty —
+    the round-1 fixture had no pairs >= 0.5 and was trivially green."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id", "text")
+    near = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.length("text") - 12).alias("text"),
+    )
+    return dedup.ngram_jaccard_pairs(d.unionByName(near), "text", "doc_id", shingle_n=5, threshold=0.5)
 
 
 def _ann_cosine_topk(spark, sf_dir):
@@ -550,9 +560,17 @@ def _html_field_extract(spark, sf_dir):
         "doc_id",
         F.concat(
             F.lit("<html><head><title> Doc "), F.col("doc_id").cast("string"),
-            F.lit(' </title><meta name="description" content="about '),
-            F.col("doc_id").cast("string"),
-            F.lit('"><script type="application/ld+json">{"id": '),
+            # alternate meta attribute order: BeautifulSoup (the reference)
+            # is order-free, so the regex extractor must cover both forms
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(' </title><meta name="description" content="about '),
+                         F.col("doc_id").cast("string"), F.lit('">')),
+            ).otherwise(
+                F.concat(F.lit(' </title><meta content="about '),
+                         F.col("doc_id").cast("string"), F.lit('" name="description">')),
+            ),
+            F.lit('<script type="application/ld+json">{"id": '),
             F.col("doc_id").cast("string"),
             F.lit('}</script></head><body><p>'),
             F.substring("text", 1, 30),
@@ -780,7 +798,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '1998-01-01')
         """,
         "customers_with_big_orders": """
             SELECT c_custkey, c_name FROM customer
@@ -878,7 +897,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, count(*) AS n_docs FROM ({_lang_case_sql()}) GROUP BY lang_pred
         """,
         "doc_ngram_jaccard": """
-            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 40),
+            WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+            d AS (
+              SELECT doc_id, lower(text) AS t FROM base
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     lower(substr(text, 1, length(text) - 12)) AS t
+              FROM base
+            ),
             sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS sh
                    FROM d, range(1, 10001) r(i)
                    WHERE i <= greatest(length(t) - 4, 1)),
@@ -1002,8 +1028,11 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT doc_id,
                 '<html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
-                ' </title><meta name="description" content="about ' || CAST(doc_id AS VARCHAR) ||
-                '"><script type="application/ld+json">{"id": ' || CAST(doc_id AS VARCHAR) ||
+                CASE WHEN doc_id % 2 = 0
+                  THEN ' </title><meta name="description" content="about ' || CAST(doc_id AS VARCHAR) || '">'
+                  ELSE ' </title><meta content="about ' || CAST(doc_id AS VARCHAR) || '" name="description">'
+                END ||
+                '<script type="application/ld+json">{"id": ' || CAST(doc_id AS VARCHAR) ||
                 '}</script></head><body><p>' || substr(text, 1, 30) ||
                 '</p><a href="https://a.org/p/' || CAST(doc_id AS VARCHAR) ||
                 '">x</a><a href="/rel/' || CAST(doc_id AS VARCHAR) ||
@@ -1011,7 +1040,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
               nullif(trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')), '') AS title,
-              nullif(regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"'']*)["'']', 1), '') AS descr,
+              coalesce(
+                nullif(regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"'']*)["'']', 1), ''),
+                nullif(regexp_extract(html, '(?is)<meta[^>]*content=["'']([^"'']*)["''][^>]*name=["'']description["'']', 1), '')
+              ) AS descr,
               CAST(len(regexp_extract_all(html, '(?i)href=["'']([^"''#][^"'']*)["'']', 1)) AS INT) AS n_links,
               list_extract(regexp_extract_all(html, '(?i)href=["'']([^"''#][^"'']*)["'']', 1), 1) AS first_link,
               nullif(trim(regexp_extract(html, '(?is)<script[^>]*type=["'']application/ld\\+json["''][^>]*>(.*?)</script>', 1)), '') AS ld_json,

@@ -28,11 +28,19 @@ def extract_title(html: Column) -> Column:
 
 def extract_meta(html: Column, name: str) -> Column:
     """content="" of a <meta name=...> tag (reference description/type
-    extraction)."""
-    pat = (
+    extraction). HTML attribute order is arbitrary, so both
+    ``name=... content=...`` and ``content=... name=...`` forms match
+    (BeautifulSoup's attribute lookup is order-free)."""
+    name_first = (
         r'(?is)<meta[^>]*name=["\']' + name + r'["\'][^>]*content=["\']([^"\']*)["\']'
     )
-    return F.nullif(F.regexp_extract(html, pat, 1), F.lit(""))
+    content_first = (
+        r'(?is)<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']' + name + r'["\']'
+    )
+    return F.coalesce(
+        F.nullif(F.regexp_extract(html, name_first, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, content_first, 1), F.lit("")),
+    )
 
 
 def extract_links(html: Column) -> Column:

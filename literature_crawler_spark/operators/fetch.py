@@ -89,6 +89,8 @@ def fetch_extract(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: pd.DataFrame([]) below
+                continue       # would have no columns -> KeyError
             results = []
             for url in pdf[url_col]:
                 out, attempts = None, 0

@@ -128,7 +128,9 @@ def canonicalize_candidates(
         )
     u = F.col(url_col)
     if base_host_col is not None:
-        u = urls.resolve_relative(u, F.col(base_host_col))
+        # trim BEFORE relative-resolution to match the Arrow kernel (which
+        # trims first): ' /a' must resolve as '/a', not as 'https://base/ /a'
+        u = urls.resolve_relative(F.trim(u), F.col(base_host_col))
     # Plan-shape note: Catalyst pushes the host-validity filter below the
     # projection and inlines the canonicalize tree into the predicate, so
     # the tree is evaluated ~2-3x per row. Blocking the pushdown (tested:
@@ -148,22 +150,80 @@ def canonicalize_candidates(
     return out
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates matching any deny rule (host-specific or global '*').
+# Matches the scheme://host prefix of a canonical URL; appended path
+# patterns then match from the first path character (RFC 9309 matches
+# against the path, not the full URI).
+_SCHEME_HOST_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
 
-    Broadcast theta-join on substring containment — the rules table is tiny
-    (robots caches are ~10^5 rows at web scale, still broadcastable); the
-    candidates side never shuffles.
+_RULE_STRUCT_T = "array<struct<rx:string,ln:int,allow:boolean>>"
+
+
+def robots_rule_regex(pattern) -> F.Column:
+    """Translate a robots rule pattern into an anchored RE2-safe regex
+    (RFC 9309 §2.2.3): ``*`` matches any run of characters, a trailing
+    ``$`` anchors the end, everything else is literal prefix match on the
+    path. Patterns NOT starting with ``/`` are the reference's blocklist
+    form (``url_util.py:30-107`` substring-anywhere rules, e.g.
+    ``doubleclick``) and translate to an unanchored substring regex over
+    the whole canonical URL."""
+    esc = F.regexp_replace(pattern, r"([\^\$\.\|\?\*\+\(\)\[\]\{\}\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\\\*", ".*")
+    wild = F.regexp_replace(wild, r"\\\$$", r"\$")
+    return F.when(
+        pattern.startswith("/"), F.concat(F.lit(_SCHEME_HOST_PREFIX), wild)
+    ).otherwise(wild)
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Keep candidates the robots rules allow, per RFC 9309 precedence:
+    among all rules whose pattern matches the URL (host-specific rules of
+    the candidate's host + global ``'*'`` rules), the LONGEST pattern wins;
+    on a length tie Allow beats Disallow; no match means allowed.
+
+    Scale shape: rules are grouped per host into an array column and
+    broadcast, so host-specific rules reach candidates through a broadcast
+    hash EQUI-join on ``host`` — at a 10^5-rule robots cache the per-URL
+    work is only that host's ~50 rules plus the tiny global set, not a
+    nested-loop scan of every rule (the round-1 plan was a
+    BroadcastNestedLoopJoin over the full rule table). The global ``'*'``
+    rules collapse to ONE broadcast row (a single array), so the only NLJ
+    left is a 1-row cross join. The candidates side never shuffles.
     """
-    deny = F.broadcast(
-        robots.filter(~F.col("allow")).select(
-            F.col("host").alias("r_host"), F.col("pattern").alias("r_pattern")
-        )
+    rules = robots.select(
+        "host",
+        F.struct(
+            robots_rule_regex(F.col("pattern")).alias("rx"),
+            F.length("pattern").alias("ln"),
+            F.col("allow").alias("allow"),
+        ).alias("r"),
     )
-    hit = (
-        (F.col("r_host") == F.lit("*")) | (F.col("r_host") == F.col("host"))
-    ) & F.col("canon_url").contains(F.col("r_pattern"))
-    return candidates.join(deny, on=hit, how="left_anti")
+    host_rules = rules.filter(F.col("host") != "*").groupBy("host").agg(
+        F.collect_list("r").alias("_h_rules")
+    )
+    global_rules = rules.filter(F.col("host") == "*").agg(
+        F.collect_list("r").alias("_g_rules")
+    )
+    out = candidates.join(F.broadcast(host_rules), "host", "left").crossJoin(
+        F.broadcast(global_rules)
+    )
+    empty = F.slice(F.col("_g_rules"), 1, 0)  # typed empty array
+    all_rules = F.concat(F.coalesce(F.col("_h_rules"), empty), F.col("_g_rules"))
+    url = F.col("canon_url")
+    matched = F.filter(all_rules, lambda r: F.regexp_like(url, r["rx"]))
+    zero = F.struct(F.lit(-1).alias("ln"), F.lit(True).alias("allow"))
+    best = F.aggregate(
+        matched,
+        zero,
+        lambda acc, r: F.when(
+            (r["ln"] > acc["ln"]) | ((r["ln"] == acc["ln"]) & r["allow"]),
+            F.struct(r["ln"].alias("ln"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return (
+        out.withColumn("_verdict", best)
+        .filter(F.col("_verdict")["allow"])
+        .drop("_verdict", "_h_rules", "_g_rules")
+    )
 
 
 def first_seen_dedup(candidates: DataFrame, order_cols: list[str]) -> DataFrame:

@@ -13,6 +13,7 @@ in the Spark expression can't hide in the oracle.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 
@@ -51,13 +52,30 @@ def resolve_relative(url: str, base_host: str) -> str:
     return f"https://{base_host}{u}"
 
 
+def _rule_regex(pattern: str) -> re.Pattern:
+    """RFC 9309 §2.2.3 pattern -> regex (spec mirror of
+    operators.frontier.robots_rule_regex): '*' wildcard, trailing '$'
+    end-anchor, '/'-prefixed patterns anchored after scheme://host,
+    other patterns are substring-anywhere (reference blocklist form)."""
+    esc = re.escape(pattern).replace(r"\*", ".*")
+    if esc.endswith(r"\$"):
+        esc = esc[:-2] + "$"
+    if pattern.startswith("/"):
+        return re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*" + esc)
+    return re.compile(esc)
+
+
 def _denied(canon_url: str, host: str, robots: list[tuple[str, str, bool]]) -> bool:
+    """Longest-match precedence, Allow wins ties, no match = allowed."""
+    best_len, best_allow = -1, True
     for r_host, pattern, allow in robots:
-        if allow:
+        if r_host != "*" and r_host != host:
             continue
-        if (r_host == "*" or r_host == host) and pattern in canon_url:
-            return True
-    return False
+        if _rule_regex(pattern).search(canon_url):
+            ln = len(pattern)
+            if ln > best_len or (ln == best_len and allow and not best_allow):
+                best_len, best_allow = ln, allow
+    return not best_allow
 
 
 def run_oracle(

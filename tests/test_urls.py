@@ -106,7 +106,10 @@ def test_arrow_and_expr_candidates_agree(spark):
         [("relative/x.pdf", "base.example.org"),
          ("/rooted/y", "base.example.org"),
          ("https://abs.example.org/z", "base.example.org"),
-         ("//cdn.example.org/c.png", "base.example.org")],
+         ("//cdn.example.org/c.png", "base.example.org"),
+         ("  relative/padded.pdf  ", "base.example.org"),
+         ("  /rooted/padded  ", "base.example.org"),
+         ("  https://abs.example.org/padded  ", "base.example.org")],
         "url string, base_host string",
     )
 
