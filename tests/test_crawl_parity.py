@@ -94,6 +94,43 @@ def test_no_bloom_same_result(spark, corpus, tmp_path_factory):
     }
 
 
+def test_bucketed_bloom_same_result_and_persists(spark, corpus, tmp_path_factory):
+    """use_bloom='bucketed' (per-bucket bitmap files, executor-merged) must
+    produce the identical seen set, write one file per touched bucket, and
+    keep working across an engine restart (store reopened, superset
+    invariant held)."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("state_bb"))
+    store = SnapshotStore(root)
+    eng = CrawlEngine(
+        spark, store, corpus["pages"], corpus["robots"], corpus["politeness"],
+        use_bloom="bucketed",
+    )
+    eng.run(corpus["seeds"], max_waves=2)
+    baseline_store = SnapshotStore(str(tmp_path_factory.mktemp("state_bc")))
+    base = CrawlEngine(
+        spark, baseline_store, corpus["pages"], corpus["robots"],
+        corpus["politeness"], use_bloom=False,
+    )
+    base.run(corpus["seeds"], max_waves=2)
+    assert {r.canon_url for r in eng.seen().collect()} == {
+        r.canon_url for r in base.seen().collect()
+    }
+    blooms = [f for f in os.listdir(os.path.join(root, "bloom")) if f.endswith(".bloom")]
+    assert blooms, "no per-bucket bitmap files written"
+    # restart: a fresh engine reopens the store and continues identically
+    eng2 = CrawlEngine(
+        spark, SnapshotStore(root), corpus["pages"], corpus["robots"],
+        corpus["politeness"], use_bloom="bucketed",
+    )
+    base.run(max_waves=1)
+    eng2.run(max_waves=1)
+    assert {r.canon_url for r in eng2.seen().collect()} == {
+        r.canon_url for r in base.seen().collect()
+    }
+
+
 def test_politeness_budget_respected(spark, corpus, engine_result):
     eng, _ = engine_result
     budgets = {r.host: r.budget_per_wave for r in corpus["politeness"].collect()}

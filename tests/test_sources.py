@@ -52,6 +52,35 @@ def test_bloom_no_false_negatives_and_fpp(spark):
     assert fpp < 0.03, fpp
 
 
+def test_bucketed_bloom_store(spark, tmp_path):
+    """Per-bucket store: executor-side build (driver sees only counts),
+    zero false negatives, bounded fpp, incremental merge, missing-bucket
+    probe = False."""
+    root = str(tmp_path / "bloom")
+    st = bloom.BucketedBloomStore.create(root, expected_items=20000, n_buckets=16)
+    df = spark.range(20000).selectExpr("xxhash64(id) as url_hash")
+    counts = st.merge(df)
+    assert sum(counts.values()) == 20000 and len(counts) == 16
+    assert all(isinstance(v, int) for v in counts.values())  # counts only
+
+    probed = df.withColumn("m", st.might_contain_col(bloom.F.col("url_hash")))
+    assert probed.filter("NOT m").count() == 0  # zero false negatives
+
+    fresh = spark.range(20000, 40000).selectExpr("xxhash64(id * 7919 + 13) as url_hash")
+    fpp = fresh.withColumn("m", st.might_contain_col(bloom.F.col("url_hash"))).filter("m").count() / 20000
+    assert fpp < 0.05, fpp
+
+    # incremental merge: new keys OR into the existing files
+    st2 = bloom.BucketedBloomStore.open(root)
+    st2.merge(fresh)
+    assert fresh.withColumn("m", st2.might_contain_col(bloom.F.col("url_hash"))).filter("NOT m").count() == 0
+    assert probed.filter("NOT m").count() == 0  # old keys still present
+
+    # a store with no files: everything is definitely-new
+    st3 = bloom.BucketedBloomStore.create(str(tmp_path / "empty"), expected_items=100)
+    assert df.withColumn("m", st3.might_contain_col(bloom.F.col("url_hash"))).filter("m").count() == 0
+
+
 ROBOTS_BODY = """# comment line
 User-agent: *
 Disallow: /private/
