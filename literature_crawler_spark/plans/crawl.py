@@ -77,6 +77,7 @@ class CrawlEngine:
         n_buckets: int = fr.DEFAULT_N_BUCKETS,
         use_bloom: bool | str = "auto",
         fetcher=None,
+        compact_every: int | None = 8,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -84,6 +85,9 @@ class CrawlEngine:
         self.politeness = politeness
         self.default_budget = default_budget
         self.n_buckets = n_buckets
+        # fold the frontier's merge-delta chain back into a replace base
+        # every N waves (Iceberg-style table maintenance)
+        self.compact_every = compact_every
         # use_bloom='bucketed' maintains a BucketedBloomStore next to the
         # state tables (one bitmap file per url_hash bucket, executor-built)
         # and probes it instead of building a bitmap per wave — the 10^10
@@ -228,23 +232,26 @@ class CrawlEngine:
         ).persist()
         n_new = new_rows.count()
 
-        # 6. commit snapshots: frontier (replace), seen/order/outcomes/metrics (append)
+        # 6. commit snapshots: frontier (MERGE delta: only the status flips
+        #    of scheduled rows + newly discovered rows — O(scheduled + new)
+        #    per wave, never a full-frontier rewrite), seen/order/outcomes/
+        #    metrics (append). The reader reconciles last-writer-wins on
+        #    url_hash; periodic compaction bounds the delta chain.
         outcome = fetched.select(
             *FRONTIER_COLS[:-1],
             F.when(F.col("page_url").isNotNull(), "fetched").otherwise("missing").alias("status"),
         )
-        remaining = pending.join(scheduled.select("url_hash"), "url_hash", "left_anti")
-        done_before = frontier.filter(~F.col("status").isin("pending"))
-        next_frontier = done_before.select(*FRONTIER_COLS).unionByName(
-            outcome.select(*FRONTIER_COLS)
-        ).unionByName(remaining.select(*FRONTIER_COLS)).unionByName(
+        frontier_delta = outcome.select(*FRONTIER_COLS).unionByName(
             new_rows.select(*FRONTIER_COLS)
         )
         n_pending_next = n_new + (pending.count() - n_scheduled)
         self.store.commit(
-            "frontier", next_frontier, mode="replace", wave=wave,
-            meta={"pending": n_pending_next},
+            "frontier", frontier_delta, mode="merge", wave=wave,
+            meta={"pending": n_pending_next, "delta_rows": n_scheduled + n_new},
+            merge_key=["url_hash"],
         )
+        if self.compact_every and wave % self.compact_every == 0:
+            self.store.compact("frontier")
         seen_total = ((seen_meta or {}).get("meta", {}).get("total") or 0) + n_new
         if self._bloom_store is not None and n_new:  # bloom BEFORE seen commit
             self._bloom_store.merge(new_rows.select("url_hash"))

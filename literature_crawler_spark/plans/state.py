@@ -14,11 +14,18 @@ Iceberg implements. On a cluster, replace SnapshotStore with an Iceberg
 catalog: ``commit(mode='append')`` becomes an append snapshot,
 ``mode='replace'`` an overwrite, and readers use time travel.
 
-Two table modes:
+Three table modes:
 * append — read(id) unions every delta up to id (the ``seen`` set: written
   once, never rewritten; 16 B/row at 10^10 scale).
-* replace — read(id) sees only snapshot id (the ``frontier``: status flips
-  per wave; at cluster scale this is a MERGE, not a rewrite).
+* replace — read(id) sees only snapshot id (full rewrite; used for the
+  bootstrap base and for compaction).
+* merge — the Iceberg ``MERGE INTO`` emulation: each snapshot holds only
+  the CHANGED/NEW rows keyed by ``merge_key``; the reader reconciles
+  base-replace + merge deltas with last-writer-wins per key. A wave that
+  flips k statuses and discovers m URLs writes O(k + m) rows, not the
+  whole frontier (the round-1 full rewrite per wave). ``compact()``
+  rewrites the reconciled state as a new replace base so the reader's
+  per-key window never folds more than ``compact_every`` deltas.
 """
 
 from __future__ import annotations
@@ -27,7 +34,8 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -74,9 +82,15 @@ class SnapshotStore:
         mode: str = "append",
         wave: int | None = None,
         meta: dict | None = None,
+        merge_key: list[str] | None = None,
     ) -> int:
-        """Atomic snapshot commit: data dir -> manifest -> pointer rename."""
-        assert mode in ("append", "replace")
+        """Atomic snapshot commit: data dir -> manifest -> pointer rename.
+
+        ``mode='merge'`` requires ``merge_key``: the snapshot carries only
+        changed/new rows; readers reconcile by key, last snapshot wins.
+        """
+        assert mode in ("append", "replace", "merge")
+        assert (merge_key is not None) == (mode == "merge")
         prev = self.latest(table)
         sid = (prev["id"] + 1) if prev else 0
         data_dir = self._sdir(table, sid)
@@ -89,6 +103,8 @@ class SnapshotStore:
             "parent": prev["id"] if prev else None,
             "meta": meta or {},
         }
+        if merge_key is not None:
+            manifest["merge_key"] = merge_key
         with open(self._manifest_path(table, sid), "w") as f:
             json.dump(manifest, f)
         tmp = os.path.join(self._tdir(table), "_LATEST.tmp")
@@ -118,8 +134,56 @@ class SnapshotStore:
         head = upto[-1]
         if head["mode"] == "replace":
             return spark.read.parquet(self._sdir(table, head["id"]))
+        if head["mode"] == "merge":
+            return self._read_merged(spark, table, upto)
         dirs = [self._sdir(table, m["id"]) for m in upto if m["mode"] == "append"]
         return spark.read.parquet(*dirs)
+
+    def _read_merged(self, spark: SparkSession, table: str, upto: list[dict]) -> DataFrame:
+        """Reconcile base replace + merge deltas: per merge_key, the row
+        from the HIGHEST snapshot id wins (MERGE INTO emulation). Only the
+        deltas after the last replace are folded, so compaction bounds the
+        window's input."""
+        base_idx = max(
+            (i for i, m in enumerate(upto) if m["mode"] == "replace"), default=None
+        )
+        relevant = upto if base_idx is None else upto[base_idx:]
+        key = next(m["merge_key"] for m in reversed(relevant) if m["mode"] == "merge")
+        parts = []
+        for m in relevant:
+            assert m["mode"] in ("replace", "merge"), (
+                f"table {table}: append snapshots cannot mix with merge"
+            )
+            parts.append(
+                spark.read.parquet(self._sdir(table, m["id"])).withColumn(
+                    "_sid", F.lit(m["id"])
+                )
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        w = Window.partitionBy(*key).orderBy(F.col("_sid").desc())
+        return (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_sid")
+        )
+
+    def compact(self, table: str) -> int | None:
+        """Rewrite the reconciled state of a merge table as a fresh replace
+        base (Iceberg table-maintenance compaction). Returns the new
+        snapshot id, or None if the table has no merge deltas to fold."""
+        latest = self.latest(table)
+        if latest is None or latest["mode"] != "merge":
+            return None
+        spark = SparkSession.getActiveSession()
+        reconciled = self.read(spark, table)
+        # the commit writes a NEW snapshot dir, so reading the old dirs
+        # while writing is safe (no in-place overwrite)
+        return self.commit(
+            table, reconciled, mode="replace", wave=latest.get("wave"),
+            meta={"compacted_from": latest["id"], **latest.get("meta", {})},
+        )
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)

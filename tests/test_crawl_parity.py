@@ -131,6 +131,26 @@ def test_bucketed_bloom_same_result_and_persists(spark, corpus, tmp_path_factory
     }
 
 
+def test_frontier_delta_commits_are_bounded(spark, corpus, engine_result):
+    """Each wave's frontier snapshot must hold only O(scheduled + new)
+    rows (merge delta), never a full-frontier rewrite (round-1 behavior).
+    The reconciled read must still contain every discovered URL exactly
+    once."""
+    eng, metrics = engine_result
+    store = eng.store
+    manifests = store.snapshots("frontier")
+    by_wave = {m["wave"]: m for m in manifests if m["mode"] == "merge"}
+    for m in metrics:
+        if not m.get("scheduled"):
+            continue
+        snap = by_wave[m["wave"]]
+        raw = spark.read.parquet(store._sdir("frontier", snap["id"]))
+        assert raw.count() == m["scheduled"] + m["new_urls"], m
+    frontier = eng.frontier()
+    assert frontier.count() == frontier.select("url_hash").distinct().count()
+    assert frontier.count() == eng.seen().count()  # one row per discovered URL
+
+
 def test_politeness_budget_respected(spark, corpus, engine_result):
     eng, _ = engine_result
     budgets = {r.host: r.budget_per_wave for r in corpus["politeness"].collect()}

@@ -69,6 +69,30 @@ def test_rollback_then_rerun(spark, corpus, tmp_path):
     assert _state(eng2) == want
 
 
+def test_compaction_preserves_state(spark, corpus, tmp_path):
+    """compact_every folds the frontier's merge-delta chain into a replace
+    base without changing the reconciled state, and resume keeps working
+    on top of the compacted base."""
+    plain = _mk_engine(spark, corpus, str(tmp_path / "plain"))
+    plain.run(corpus["seeds"], max_waves=3)
+
+    p = str(tmp_path / "cmp")
+    eng = CrawlEngine(
+        spark, SnapshotStore(p), corpus["pages"], corpus["robots"],
+        corpus["politeness"], compact_every=2,
+    )
+    eng.run(corpus["seeds"], max_waves=2)
+    modes = [m["mode"] for m in eng.store.snapshots("frontier")]
+    assert modes.count("replace") >= 2, modes  # bootstrap base + compaction
+    # restart on the compacted base and finish
+    eng2 = CrawlEngine(
+        spark, SnapshotStore(p), corpus["pages"], corpus["robots"],
+        corpus["politeness"], compact_every=2,
+    )
+    eng2.run(max_waves=1)
+    assert _state(plain) == _state(eng2)
+
+
 def test_per_partition_lineage(spark, corpus, tmp_path):
     """Each wave commits fetch-shard and dedup-bucket lineage whose totals
     reconcile with the wave metrics (north rule: per-partition lineage)."""
