@@ -687,26 +687,45 @@ def _union_bucket_ids(spark, sf_dir):
 
 
 def _doc_render_markdown(spark, sf_dir):
-    """M6: Draft.js-style steps JSON -> markdown; ordering is Catalyst
-    (array_sort on numeric key), assembly is one Arrow-batched pandas UDF.
-    Driver-checked: the fixture steps are synthesized, so the DuckDB
-    oracle assembles the expected markdown (step order 1 < 2 < 10, header/
-    link/text/note renderings) with plain string concatenation. The
-    snippet is sanitized to [A-Za-z0-9 ] so it embeds safely in JSON."""
-    from literature_crawler_spark.operators import render as rn
+    """M6 deep tail: the full Draft.js renderer (inlineStyleRanges
+    bold+italic merge, offset splicing, entity dispatch — link,
+    temperature-with-units, command code blocks — list prefixes, markdown
+    escaping, natural step ordering) driver-checked against a DuckDB
+    oracle that assembles the exact expected markdown by string
+    concatenation. Golden per-renderer coverage: tests/test_draftjs.py."""
+    from literature_crawler_spark.operators import draftjs as dj
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    snippet = F.regexp_replace(F.substring("text", 1, 20), r"[^A-Za-z0-9 ]", "")
+    did = F.lpad(F.col("doc_id").cast("string"), 4, "0")
     steps_json = F.concat(
-        F.lit('[{"number":"2","title":"mix","blocks":[{"type":"text","text":"'),
-        snippet,
-        F.lit('"}]},{"number":"10","title":"heat","blocks":[{"type":"note","text":"t'),
-        F.col("doc_id").cast("string"),
-        F.lit('"}]},{"number":"1","blocks":[{"type":"link","text":"ref","url":"https://e.org/'),
-        F.col("doc_id").cast("string"),
-        F.lit('"}]}]'),
+        F.lit('[{"number":"2","title":"mix","step":{"blocks":['
+              '{"text":"Mix sample '), did,
+        F.lit('","type":"unstyled","inlineStyleRanges":['
+              '{"offset":0,"length":3,"style":"bold"},'
+              '{"offset":0,"length":3,"style":"italic"}],'
+              '"entityRanges":[{"offset":11,"length":4,"key":0}]},'
+              '{"text":"heat to 37C plus","type":"ordered-list-item",'
+              '"inlineStyleRanges":[],"entityRanges":[{"offset":8,"length":3,"key":1}]}],'
+              '"entityMap":{"0":{"type":"link","mutability":"MUTABLE",'
+              '"data":{"url":"https://e.org/'), did,
+        F.lit('"}},"1":{"type":"temperature","mutability":"IMMUTABLE",'
+              '"data":{"temperature":37,"unit":"u2"}}}}},'
+              '{"number":"10","title":"note","step":{"blocks":['
+              '{"text":"X","type":"unstyled","inlineStyleRanges":[],'
+              '"entityRanges":[{"offset":0,"length":1,"key":0}]}],'
+              '"entityMap":{"0":{"type":"command","mutability":"IMMUTABLE",'
+              '"data":{"command_name":"run","name":"make all",'
+              '"os_name":"linux","os_version":"5"}}}}},'
+              '{"number":"1","title":null,"step":{"blocks":['
+              '{"text":"Prep '), did,
+        F.lit(' #f","type":"unstyled","inlineStyleRanges":[],"entityRanges":[]}],'
+              '"entityMap":{}}}]'),
     )
-    out = rn.render_documents(d.select("doc_id", steps_json.alias("steps")), "steps")
+    out = dj.render_rich_documents(
+        d.select("doc_id", steps_json.alias("steps"),
+                 F.lit('[{"id":"u2","name":"degC"}]').alias("units")),
+        "steps", "units",
+    )
     return out.select("doc_id", "content_md")
 
 
@@ -1274,14 +1293,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(range(0, 60)) AS v), (SELECT unnest([0, 2, 4]) AS f)
         """,
         "doc_render_markdown": """
+            WITH d AS (SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 4, '0') AS did
+                       FROM documents WHERE doc_id < 50)
             SELECT doc_id,
-                   '## Step 1' || chr(10) || chr(10) ||
-                   '[ref](https://e.org/' || CAST(doc_id AS VARCHAR) || ')' || chr(10) || chr(10) ||
-                   '## Step 2: mix' || chr(10) || chr(10) ||
-                   regexp_replace(substr(text, 1, 20), '[^A-Za-z0-9 ]', '', 'g') || chr(10) || chr(10) ||
-                   '## Step 10: heat' || chr(10) || chr(10) ||
-                   '> Note: t' || CAST(doc_id AS VARCHAR) AS content_md
-            FROM documents WHERE doc_id < 50
+                   '## Step 1' || repeat(chr(10), 2) ||
+                   'Prep ' || did || ' #f' || repeat(chr(10), 4) ||
+                   '## Step 2: mix' || repeat(chr(10), 2) ||
+                   ' ***Mix***  sample [' || did || '](https://e.org/' || did || ')' ||
+                   repeat(chr(10), 2) ||
+                   '1. heat to `37degC` plus' || repeat(chr(10), 3) ||
+                   '## Step 10: note' || repeat(chr(10), 5) ||
+                   '```' || chr(10) || '#run (linux 5)' || chr(10) ||
+                   'make all' || chr(10) || '```' AS content_md
+            FROM d
         """,
         "ris_seed_parse": """
             WITH raw AS (SELECT content FROM read_text('/root/repo/tests/fixtures/sample.ris')),
