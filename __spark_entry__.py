@@ -367,10 +367,11 @@ def _embedding_lsh_topk(spark, sf_dir):
 
 
 def _doc_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (LSH-bucketed); injected exact
-    duplicates (vec_id+100000 every 25th) are the only pairs >= 0.9
-    (natural max cosine in the fixture is ~0.6), so the LSH path must
-    equal the oracle's brute-force pair scan."""
+    """Embedding-cosine near-dup pairs (multi-table hyperplane LSH with
+    corpus-scaled plane count); injected exact duplicates (vec_id+100000
+    every 25th) are the only pairs >= 0.9 (natural max cosine in the
+    fixture is ~0.6), and exact duplicates collide in every table, so the
+    LSH path must equal the oracle's brute-force pair scan."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )

@@ -267,30 +267,63 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def default_near_dup_planes(n_rows: int, target_bucket: int = 128) -> int:
+    """Plane count scaled to corpus size: 2^planes buckets per table sized
+    for ~``target_bucket`` rows each, so the within-bucket self-join stays
+    ~O(n_rows x target_bucket) instead of quadratic (the round-1 fixed
+    64-bucket layout was (N/64)^2 at any N)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = None,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expected_rows: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets:
-    (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold."""
-    b = add_lsh_bucket(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        "_v", dim, n_planes,
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane
+    LSH: (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold.
+
+    Scale shape (fixes the round-1 single-table 64-bucket quadratic):
+    * plane count defaults to log2(rows/128) — bucket population stays
+      ~constant as the corpus grows, so each (table, bucket) self-join is
+      bounded;
+    * the bucket join ships only (id, table, bucket) keys; vectors join
+      back onto the deduped candidate pairs for the cosine verify
+      (same payload discipline as lsh_topk);
+    * recall for a pair at angle θ is 1-(1-(1-θ/π)^planes)^tables —
+      e.g. cosine 0.9, 6 planes, 8 tables ≈ 0.98; exact duplicates
+      (θ=0) collide in every table, recall 1.
+    """
+    n = expected_rows if expected_rows is not None else df.count()
+    if n_planes is None:
+        n_planes = default_near_dup_planes(n)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    keys = _add_multi_buckets(base, "_v", dim, n_planes, n_tables, seed=42).select(
+        "_id", "tbl", "bucket"
     )
-    x = b.alias("x")
-    y = b.alias("y")
-    return (
-        x.join(y, "lsh_bucket")
+    x = keys.alias("x")
+    y = keys.alias("y")
+    cand = (
+        x.join(y, ["tbl", "bucket"])
         .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = base
+    return (
+        cand.join(vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b")), "id_b")
         .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.round(cosine_similarity_col(F.col("x._v"), F.col("y._v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity_col(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )

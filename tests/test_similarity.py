@@ -73,6 +73,39 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs == {(1, 2)}
 
 
+def test_near_dup_bucket_population_bounded(spark, emb):
+    """The multi-table layout must keep per-(table, bucket) populations
+    bounded as the corpus grows (the round-1 single-table 64-bucket
+    variant went quadratic): with auto-scaled planes the max bucket holds
+    a small multiple of the 128-row design target, and recall on injected
+    exact duplicates is 1.0."""
+    dim = len(emb.first().embedding)
+    base = emb.select("vec_id", "embedding")
+    dups = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = base.unionByName(dups)
+    n = both.count()
+    planes = sim.default_near_dup_planes(n)
+    assert 2 ** planes >= n / 256  # bucket target scales with corpus
+    keyed = sim._add_multi_buckets(
+        both.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")),
+        "_v", dim, planes, 8, seed=42,
+    )
+    max_pop = (
+        keyed.groupBy("tbl", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    # hyperplane buckets are not perfectly uniform; 8x the design target
+    # still certifies the population is corpus-size-independent
+    assert max_pop <= 128 * 8, max_pop
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_near_dup_pairs(both, dim=dim, threshold=0.99).collect()
+    }
+    expected = {(r.vec_id, r.vec_id + 100000) for r in base.filter(F.col("vec_id") % 25 == 0).collect()}
+    assert expected <= pairs
+
+
 def test_ivf_topk_recall_and_exactness(spark, emb):
     queries = emb.limit(8)
     exact = sim.brute_force_topk(emb, queries, k=5).collect()
