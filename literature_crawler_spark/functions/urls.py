@@ -159,6 +159,59 @@ def is_blocked(url: Column, patterns: list[str] | None = None) -> Column:
     return cond
 
 
+# The crossref-derived DOI grammar with multi-separator tolerance
+# (reference pdf2doi/patterns.py:15-24 `DOI`, flattened from its verbose
+# (?x) form): optional doi marker, "10.<registrant>" prefix, one of
+# [:\-/\s\]] as separator, suffix ending alphanumeric, valid terminator.
+_DOI_CORE = (
+    r"(?:doi[:/\s]{0,3})?(10)\.(\d{2,9})([:\-/\s\]])"
+    r"([\-._;()/:a-z0-9]+[a-z0-9])(?:[\s\n\"<.]|$)"
+)
+
+
+def standardise_doi(identifier: Column) -> Column:
+    """Standardise a DOI: strip the marker, lowercase, normalize the
+    separator to '/' (reference pdf2doi/patterns.py:26-39
+    ``standardise_doi``). NULL when the grammar doesn't match.
+
+    Deviation: the reference folds groupdicts over ALL regex matches
+    (later matches overwrite earlier ones, possibly mixing groups across
+    matches); this expression uses the first match.
+    """
+    s = F.lower(identifier)
+    registrant = F.regexp_extract(s, _DOI_CORE, 2)
+    suffix = F.regexp_extract(s, _DOI_CORE, 4)
+    return F.when(
+        (registrant != "") & (suffix != ""),
+        F.concat(F.lit("10."), registrant, F.lit("/"), suffix),
+    )
+
+
+# The 5-tier fallback ladder + the protocols.io fast path, strict to loose
+# (reference pdf2doi/patterns.py:46-58 ``doi_regexp``; tier comments
+# there). Each tier's first capture group is the DOI candidate.
+DOI_LADDER = [
+    r"(10\.17504/protocols\.io\.[a-z0-9]+(?:/v[0-9]+)?)",  # protocols.io
+    r"doi[\s.:]{0,2}(10\.\d{4}[\d:.\-/a-z]+)(?:[\s\n\"<]|$)",  # "doi: 10...."
+    r"(10\.\d{4}[\d:.\-/a-z]+)(?:[\s\n\"<]|$)",  # bare, clean terminator
+    r"(10\.\d{4}[:.\-/a-z]+[:.\-\d]+)(?:[\s\na-z\"<]|$)",  # digit-terminated
+    r"https?://[ -~]*doi[ -~]*/(10\.\d{4,9}/[-._;()/:a-z0-9]+)(?:[\s\n\"<]|$)",  # doi.org URL
+    r"^(10\.\d{4,9}/[-._;()/:a-z0-9]+)$",  # whole-string DOI (metadata)
+]
+
+
+def extract_doi_ladder(text: Column) -> Column:
+    """Full pdf2doi extraction: run the ladder strict-to-loose, first tier
+    that hits wins, then standardise the hit (reference
+    pdf2doi/finders.py:320-345 ``find_identifier_in_text`` semantics,
+    web validation excluded — no network in the engine)."""
+    lowered = F.lower(text)
+    hit = F.coalesce(
+        *[F.nullif(F.regexp_extract(lowered, p, 1), F.lit("")) for p in DOI_LADDER]
+    )
+    return F.coalesce(standardise_doi(hit), hit)
+
+
 def extract_doi(text: Column) -> Column:
     """DOI extraction ladder (reference pdf2doi/patterns.py:26-55):
     try the strict ``10.xxxx/...`` form, then looser variants, first hit wins.

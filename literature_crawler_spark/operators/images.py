@@ -195,6 +195,70 @@ def resize_images(df: DataFrame, bytes_col: str, out_w: int, out_h: int) -> Data
     return df.mapInPandas(run, schema)
 
 
+# The reference crops screenshots' black borders with per-line while
+# loops over this exact RGB value (pic_back_deal.py:4-35).
+BORDER_RGB = (14, 14, 14)
+
+
+def crop_border_pixels(px: np.ndarray, border=BORDER_RGB) -> np.ndarray:
+    """Trim outer rows/columns that are entirely the border color — the
+    reference's edge scan (pic_back_deal.py:18-29) vectorized to one
+    boolean mask + argmax instead of four Python while loops.
+
+    Deviation: the reference's PIL ``crop((left, top, right, bottom))``
+    drops the last non-border row/column (off-by-one, right/bottom are
+    exclusive there); this keeps every non-border row/column. An image
+    that is ALL border crops to an empty 0x0 array.
+    """
+    mask = np.all(px == np.asarray(border, dtype=px.dtype), axis=2)
+    keep_rows = ~mask.all(axis=1)
+    keep_cols = ~mask.all(axis=0)
+    if not keep_rows.any() or not keep_cols.any():
+        return px[0:0, 0:0]
+    r0 = int(np.argmax(keep_rows))
+    r1 = len(keep_rows) - int(np.argmax(keep_rows[::-1]))
+    c0 = int(np.argmax(keep_cols))
+    c1 = len(keep_cols) - int(np.argmax(keep_cols[::-1]))
+    return px[r0:r1, c0:c1]
+
+
+def crop_black_borders(df: DataFrame, bytes_col: str) -> DataFrame:
+    """Adds ``cropped`` (binary), ``crop_w``, ``crop_h``: decode ->
+    border trim -> re-encode per Arrow batch (mapInPandas, same multimodal
+    plumbing shape as resize_images)."""
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("cropped", T.BinaryType()),
+            T.StructField("crop_w", T.IntegerType()),
+            T.StructField("crop_h", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_b, out_w, out_h = [], [], []
+            for blob in pdf[bytes_col]:
+                px, _w, _h, fmt = decode_image(blob)
+                if px is None:
+                    out_b.append(None)
+                    out_w.append(None)
+                    out_h.append(None)
+                    continue
+                cropped = crop_border_pixels(px)
+                h, w = cropped.shape[:2]
+                out_b.append(encode_image(cropped, fmt or "png") if h and w else None)
+                out_w.append(w)
+                out_h.append(h)
+            pdf = pdf.copy()
+            pdf["cropped"], pdf["crop_w"], pdf["crop_h"] = out_b, out_w, out_h
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def decode_external_format(data: bytes) -> np.ndarray:
     """Decode a real-world codec (JPEG/PNG via Pillow) — NOT AVAILABLE in
     this container (no image libraries baked in). The fake codec above is

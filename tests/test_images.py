@@ -121,3 +121,42 @@ def test_audio_features_deterministic_shape(spark):
 def test_audio_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         im.decode_audio(b"RIFF")
+
+
+def test_crop_border_pixels_numpy():
+    import numpy as np
+
+    inner = im.pixels_for_id("crop-test", 10, 8)
+    # guarantee no interior pixel equals the border color
+    inner = np.where(np.all(inner == 14, axis=2, keepdims=True), 15, inner).astype(np.uint8)
+    padded = np.full((8 + 5, 10 + 7, 3), 14, dtype=np.uint8)
+    padded[2 : 2 + 8, 3 : 3 + 10] = inner
+    out = im.crop_border_pixels(padded)
+    assert out.shape == inner.shape
+    assert (out == inner).all()
+    # all-border image crops to empty
+    assert im.crop_border_pixels(np.full((4, 4, 3), 14, dtype=np.uint8)).size == 0
+    # no border: unchanged
+    assert (im.crop_border_pixels(inner) == inner).all()
+
+
+def test_crop_black_borders_spark(spark):
+    import numpy as np
+    import pandas as pd
+
+    def make_blob(i):
+        inner = im.pixels_for_id(f"img-{i}", 12, 9)
+        inner = np.where(np.all(inner == 14, axis=2, keepdims=True), 15, inner).astype(np.uint8)
+        padded = np.full((9 + 4, 12 + 6, 3), 14, dtype=np.uint8)
+        padded[1 : 1 + 9, 2 : 2 + 12] = inner
+        return im.encode_image(padded, "png")
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"i{i}" for i in range(6)],
+                      "bytes": [make_blob(i) for i in range(6)]})
+    )
+    rows = im.crop_black_borders(df, "bytes").collect()
+    for r in rows:
+        assert (r.crop_w, r.crop_h) == (12, 9)
+        px, w, h, fmt = im.decode_image(bytes(r.cropped))
+        assert (w, h, fmt) == (12, 9, "png") and px is not None
