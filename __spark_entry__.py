@@ -662,6 +662,95 @@ def _html_field_extract(spark, sf_dir):
     )
 
 
+def _html_authors_refs(spark, sf_dir):
+    """Clean-stage typed struct extraction (SURVEY §2.7 authors/refs
+    columns): author-info blocks -> array<struct<name,email,orcid>>,
+    reference items -> array<struct<doi,uri,ref_text>> (href percent-
+    decoded), recommendation cards -> array<struct<title,uri,doi>> — all
+    pure Catalyst. The fixture HTML is synthesized from id arithmetic, so
+    the DuckDB oracle predicts every extracted field; flattened here
+    because the driver hash-compares scalar columns."""
+    from literature_crawler_spark.functions import clean as cl
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    author_blocks = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.col("doc_id") % 3),
+            lambda k: F.concat(
+                F.lit('<div class="author-info accordion-tabbed__content">'
+                      '<p class="author-name">A'),
+                did, F.lit(" K"), k.cast("string"), F.lit("</p>"),
+                F.when(
+                    k % 2 == 0,
+                    F.concat(
+                        F.lit('<a class="sm-account__link" title="Link to email address"><span>a'),
+                        did, F.lit("."), k.cast("string"), F.lit("@lab.org</span></a>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    k == 0,
+                    F.concat(
+                        F.lit('<a class="sm-account__link icon-orcid"><span>0000-0002-'),
+                        did, F.lit("</span></a>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</div>"),
+            ),
+        ),
+    )
+    ref_blocks = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.col("doc_id") % 2),
+            lambda k: F.concat(
+                F.lit('<li class="c-article-references__item js-x"><a data-doi="10.1000/r'),
+                did, F.lit("."), k.cast("string"),
+                F.lit('" href="https://doi.org/10.1000%2Fr'),
+                did, F.lit("."), k.cast("string"),
+                F.lit('">GS</a><p class="c-article-references__text">Ref text '),
+                did, F.lit("."), k.cast("string"), F.lit("</p></li>"),
+            ),
+        ),
+    )
+    related = F.concat(
+        F.lit('<a class="c-article-recommendations-card__link" href="/doi/full/10.1000/x'),
+        did, F.lit('" data-track-label="10.1000/x'), did,
+        F.lit('">Related '), did, F.lit("</a>"),
+    )
+    html = F.concat(F.lit("<html><body>"), author_blocks, ref_blocks, related, F.lit("</body></html>"))
+    doc = d.select(
+        "doc_id",
+        cl.extract_authors(html).alias("authors"),
+        cl.extract_references(html).alias("refs"),
+        cl.extract_related(html).alias("related"),
+    )
+    dash = F.lit("-")
+    return doc.select(
+        "doc_id",
+        F.size("authors").alias("n_authors"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                "authors",
+                lambda a: F.concat_ws(
+                    "|",
+                    F.coalesce(a["name"], dash),
+                    F.coalesce(a["email"], dash),
+                    F.coalesce(a["orcid"], dash),
+                ),
+            ),
+        ).alias("authors_joined"),
+        F.size("refs").alias("n_refs"),
+        F.element_at("refs", 1)["doi"].alias("first_ref_doi"),
+        F.element_at("refs", 1)["uri"].alias("first_ref_uri"),
+        F.element_at("refs", 1)["ref_text"].alias("first_ref_text"),
+        F.element_at("related", 1)["title"].alias("related_title"),
+        F.element_at("related", 1)["doi"].alias("related_doi"),
+    )
+
+
 def _section_collect_map(spark, sf_dir):
     """A3: group-by-section ordered accumulation (the reference's manual
     dict-of-lists per section, protocol_io_util.py:1764-1773) as
@@ -820,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_collect_map": _section_collect_map,
         "union_bucket_ids": _union_bucket_ids,
         "html_field_extract": _html_field_extract,
+        "html_authors_refs": _html_authors_refs,
         # approximate / non-SQL operators, driver-checked as deterministic
         # comparisons against exact oracles (VERDICT r01 item 1): LSH and
         # IVF vs brute-force top-k, minhash/simhash vs exhaustive Jaccard,
@@ -1187,6 +1277,27 @@ def oracle_sql() -> dict[str, str]:
                     '(?s)<[^>]+>', ' ', 'g'),
                     '\\s+', ' ', 'g')) AS visible
             FROM d
+        """,
+        "html_authors_refs": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS INT) AS n_authors,
+                   array_to_string(
+                     list_transform(range(0, CAST(doc_id % 3 AS INT) + 1), k ->
+                       'A' || CAST(doc_id AS VARCHAR) || ' K' || CAST(k AS VARCHAR) || '|' ||
+                       CASE WHEN k % 2 = 0
+                            THEN 'a' || CAST(doc_id AS VARCHAR) || '.' || CAST(k AS VARCHAR) || '@lab.org'
+                            ELSE '-' END || '|' ||
+                       CASE WHEN k = 0
+                            THEN '0000-0002-' || CAST(doc_id AS VARCHAR)
+                            ELSE '-' END),
+                     ';') AS authors_joined,
+                   CAST(doc_id % 2 + 1 AS INT) AS n_refs,
+                   '10.1000/r' || CAST(doc_id AS VARCHAR) || '.0' AS first_ref_doi,
+                   'https://doi.org/10.1000/r' || CAST(doc_id AS VARCHAR) || '.0' AS first_ref_uri,
+                   'Ref text ' || CAST(doc_id AS VARCHAR) || '.0' AS first_ref_text,
+                   'Related ' || CAST(doc_id AS VARCHAR) AS related_title,
+                   '10.1000/x' || CAST(doc_id AS VARCHAR) AS related_doi
+            FROM documents WHERE doc_id < 100
         """,
         "union_bucket_ids": """
             WITH u AS (

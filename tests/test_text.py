@@ -75,3 +75,46 @@ def test_html_extraction(spark):
     r2 = rows[1]
     assert r2.t is None and r2.d is None and r2.l == [] and r2.j is None
     assert r2.v == "no meta"
+
+
+def test_clean_struct_extraction(spark):
+    """Authors/refs/related typed struct extraction (functions/clean.py):
+    field nulls mirror the reference's find(...)-is-None branches."""
+    from pyspark.sql import functions as F
+
+    from literature_crawler_spark.functions import clean as cl
+
+    html = (
+        '<html><body>'
+        '<div class="author-info accordion-tabbed__content">'
+        '<p class="author-name">Jane Doe</p>'
+        '<a class="sm-account__link" title="Link to email address"><span>j@x.org</span></a>'
+        '<a class="sm-account__link icon-orcid"><span>0000-0002-1</span></a></div>'
+        '<div class="author-info accordion-tabbed__content">'
+        '<p class="author-name">No Links</p></div>'
+        '<li class="c-article-references__item js-y">'
+        '<a data-doi="10.1/a" href="https://doi.org/10.1%2Fa">GS</a>'
+        '<p class="c-article-references__text">Doe 2020</p></li>'
+        '<a class="c-article-recommendations-card__link" href="/doi/full/10.1/b" '
+        'data-track-label="10.1/b">More work</a>'
+        '<div id="Abs2-content"><li> point one </li><li>point two</li></div>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    row = df.select(
+        cl.extract_authors(F.col("html")).alias("a"),
+        cl.extract_references(F.col("html")).alias("r"),
+        cl.extract_related(F.col("html")).alias("rel"),
+        cl.extract_key_points(F.col("html")).alias("kp"),
+    ).collect()[0]
+    assert [a.asDict() for a in row.a] == [
+        {"name": "Jane Doe", "email": "j@x.org", "orcid": "0000-0002-1"},
+        {"name": "No Links", "email": None, "orcid": None},
+    ]
+    assert [r.asDict() for r in row.r] == [
+        {"doi": "10.1/a", "uri": "https://doi.org/10.1/a", "ref_text": "Doe 2020"}
+    ]
+    assert [r.asDict() for r in row.rel] == [
+        {"title": "More work", "uri": "/doi/full/10.1/b", "doi": "10.1/b"}
+    ]
+    assert list(row.kp) == ["point one", "point two"]
