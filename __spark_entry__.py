@@ -751,6 +751,28 @@ def _html_authors_refs(spark, sf_dir):
     )
 
 
+def _html_to_markdown(spark, sf_dir):
+    """html2text-with-placeholder-protection port (operators/htmlmd.py):
+    headings/emphasis/links conversion with sub/sup preservation,
+    annotation -> Note tags, type='a' list numbering, in-page anchor
+    collapse. Fixture HTML synthesized from id arithmetic; the DuckDB
+    oracle assembles the exact expected markdown."""
+    from literature_crawler_spark.operators import htmlmd as hm
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<h2>Doc "), did, F.lit("</h2><p>intro <b>bold"), did,
+        F.lit('</b> and H<sub>2</sub>O</p><p class="annotation">note '), did,
+        F.lit('</p><ol type="a"><li>alpha '), did,
+        F.lit('</li><li>beta</li></ol><p>see <a href="#s">S</a> and <a href="https://e.org/'),
+        did, F.lit('">link</a></p>'),
+    )
+    return hm.convert_documents(d.select("doc_id", html.alias("html")), "html").select(
+        "doc_id", "content_md"
+    )
+
+
 def _section_collect_map(spark, sf_dir):
     """A3: group-by-section ordered accumulation (the reference's manual
     dict-of-lists per section, protocol_io_util.py:1764-1773) as
@@ -910,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_bucket_ids": _union_bucket_ids,
         "html_field_extract": _html_field_extract,
         "html_authors_refs": _html_authors_refs,
+        "html_to_markdown": _html_to_markdown,
         # approximate / non-SQL operators, driver-checked as deterministic
         # comparisons against exact oracles (VERDICT r01 item 1): LSH and
         # IVF vs brute-force top-k, minhash/simhash vs exhaustive Jaccard,
@@ -1277,6 +1300,19 @@ def oracle_sql() -> dict[str, str]:
                     '(?s)<[^>]+>', ' ', 'g'),
                     '\\s+', ' ', 'g')) AS visible
             FROM d
+        """,
+        "html_to_markdown": """
+            SELECT doc_id,
+                   '## Doc ' || CAST(doc_id AS VARCHAR) || repeat(chr(10), 2) ||
+                   'intro **bold' || CAST(doc_id AS VARCHAR) ||
+                   '** and H<sub>2</sub>O' || repeat(chr(10), 2) ||
+                   '<Note title="Note" type="info">note ' || CAST(doc_id AS VARCHAR) ||
+                   '</Note>' || repeat(chr(10), 2) ||
+                   '1. alpha ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   '2. beta' || chr(10) ||
+                   'see S and [link](https://e.org/' || CAST(doc_id AS VARCHAR) || ')'
+                   AS content_md
+            FROM documents WHERE doc_id < 100
         """,
         "html_authors_refs": """
             SELECT doc_id,
