@@ -773,6 +773,26 @@ def _html_to_markdown(spark, sf_dir):
     )
 
 
+def _pdf_toc_pages(spark, sf_dir):
+    """PDF TOC + page raster (reference parse_pdf.py get_bookmarks /
+    pdf_to_png_and_upload pure logic over the FPDF fake container):
+    per-doc TOC summary joined with the rasterized first page's dims.
+    Oracle recomputes everything from the generator formulas (incl. the
+    int(dim * 2.5) fitz arithmetic and the \\r title strip)."""
+    from literature_crawler_spark.sources import pdf as pdfsrc
+
+    pdfs = pdfsrc.generate_pdfs(spark, 50)
+    toc = pdfsrc.extract_toc(pdfs, "bytes", "doc_id")
+    first_pages = (
+        pdfsrc.rasterize_pdf_pages(pdfs, "bytes", "doc_id")
+        .filter(F.col("page_id") == 0)
+        .select("doc_id", "page_w", "page_h")
+    )
+    return toc.join(first_pages, "doc_id").select(
+        "doc_id", "n_pages", "n_toc", "toc_titles", "max_level", "page_w", "page_h"
+    )
+
+
 def _section_collect_map(spark, sf_dir):
     """A3: group-by-section ordered accumulation (the reference's manual
     dict-of-lists per section, protocol_io_util.py:1764-1773) as
@@ -933,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_field_extract": _html_field_extract,
         "html_authors_refs": _html_authors_refs,
         "html_to_markdown": _html_to_markdown,
+        "pdf_toc_pages": _pdf_toc_pages,
         # approximate / non-SQL operators, driver-checked as deterministic
         # comparisons against exact oracles (VERDICT r01 item 1): LSH and
         # IVF vs brute-force top-k, minhash/simhash vs exhaustive Jaccard,
@@ -1300,6 +1321,20 @@ def oracle_sql() -> dict[str, str]:
                     '(?s)<[^>]+>', ' ', 'g'),
                     '\\s+', ' ', 'g')) AS visible
             FROM d
+        """,
+        "pdf_toc_pages": """
+            WITH i AS (SELECT unnest(range(0, 50)) AS i)
+            SELECT 'pdf-' || lpad(CAST(i AS VARCHAR), 6, '0') AS doc_id,
+                   CAST(2 + i % 3 AS INT) AS n_pages,
+                   CAST(1 + i % 4 AS INT) AS n_toc,
+                   array_to_string(
+                     list_transform(range(0, CAST(1 + i % 4 AS INT)),
+                                    k -> 'Sec ' || CAST(i AS VARCHAR) || '.' || CAST(k AS VARCHAR)),
+                     '|') AS toc_titles,
+                   CAST(CASE WHEN i % 4 = 0 THEN 1 ELSE 2 END AS INT) AS max_level,
+                   CAST(floor((12 + i % 5) * 2.5) AS INT) AS page_w,
+                   CAST(floor((14 + i % 4) * 2.5) AS INT) AS page_h
+            FROM i
         """,
         "html_to_markdown": """
             SELECT doc_id,

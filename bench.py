@@ -46,6 +46,8 @@ HEADLINE = [
     "doc_embedding_near_dups",
     "image_decode_stats",
     "video_frame_sample",
+    "doc_render_markdown",
+    "html_to_markdown",
 ]
 
 
@@ -74,7 +76,10 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
     URL synthesis is pure Catalyst (concat over spark.range), so the
     measurement is dominated by the kernel itself: canonicalize -> xxhash64
     -> membership test -> anti-join vs a seen set (1/3 of the keyspace) ->
-    per-host politeness ranking. Host skew: host 0 carries ~10% of URLs.
+    per-host politeness ranking under a FIXED 1000-URL/host budget (the
+    north rule's politeness-gated scheduling; round 1 used an unbounded
+    budget, which both departed from the rule and serialized the skewed
+    host's ranking in one task). Host skew: host 0 carries ~10% of URLs.
 
     Three dedup strategies are timed:
     * broadcast — exact broadcast anti-join (the < 5M-seen path);
@@ -86,14 +91,16 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
     """
     urls = _bench_urls(n_hosts)
     seen = fr.canonicalize_candidates(
-        urls(spark.range(0, n_urls, 3))
+        urls(spark.range(0, n_urls, 3)), output_cols=[]
     ).select("url_hash")
     seen = seen.persist()
     seen_n = seen.count()  # materialize outside the timed section
 
     def run_once(strategy, n, bloom_store=None) -> float:
         t0 = time.time()
-        cand = fr.canonicalize_candidates(urls(spark.range(n)))
+        # prune the raw url through the Arrow boundary: downstream only
+        # needs (id, canon_url, host) — halves the kernel's return payload
+        cand = fr.canonicalize_candidates(urls(spark.range(n)), output_cols=["id"])
         new = fr.dedup_against_seen(
             spark, cand, seen, use_bloom=strategy, expected_seen=seen_n,
             bloom_store=bloom_store,
@@ -102,7 +109,7 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
             "canon_url", "url_hash", "host",
             F.lit(0).alias("priority"), F.col("id").alias("seq"),
         )
-        sched = pol.schedule_wave(pending, politeness=None, default_budget=1_000_000)
+        sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
         _materialize(sched)
         return time.time() - t0
 
@@ -162,7 +169,7 @@ def bench_frontier_large_seen(spark, n_urls: int, n_hosts: int = 1000) -> dict:
 
     urls = _bench_urls(n_hosts)
     seen = fr.canonicalize_candidates(
-        urls(spark.range(0, n_urls * 2))  # 2x candidates -> seen > n_urls
+        urls(spark.range(0, n_urls * 2)), output_cols=[]  # seen > n_urls
     ).select("url_hash").persist()
     seen_n = seen.count()
 
@@ -174,7 +181,7 @@ def bench_frontier_large_seen(spark, n_urls: int, n_hosts: int = 1000) -> dict:
 
     def run_once(strategy, bloom_store=None) -> float:
         t0 = time.time()
-        cand = fr.canonicalize_candidates(urls(spark.range(n_urls)))
+        cand = fr.canonicalize_candidates(urls(spark.range(n_urls)), output_cols=["id"])
         new = fr.dedup_against_seen(
             spark, cand, seen, use_bloom=strategy, expected_seen=seen_n,
             bloom_store=bloom_store,
@@ -183,7 +190,7 @@ def bench_frontier_large_seen(spark, n_urls: int, n_hosts: int = 1000) -> dict:
             "canon_url", "url_hash", "host",
             F.lit(0).alias("priority"), F.col("id").alias("seq"),
         )
-        sched = pol.schedule_wave(pending, politeness=None, default_budget=1_000_000)
+        sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
         _materialize(sched)
         return time.time() - t0
 

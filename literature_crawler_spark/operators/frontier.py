@@ -30,10 +30,14 @@ from literature_crawler_spark.operators import bloom as bloom_mod
 DEFAULT_N_BUCKETS = 64
 
 
-def _arrow_canon_runner(url_col: str, base_host_col: str | None):
+def _arrow_canon_runner(
+    url_col: str, base_host_col: str | None, out_cols: list[str] | None = None
+):
     """mapInPandas kernel: canonicalize a whole Arrow batch with
     pyarrow.compute RE2 kernels. Semantics mirror functions/urls.py
-    canonicalize/host_of exactly (equality is property-tested)."""
+    canonicalize/host_of exactly (equality is property-tested).
+    ``out_cols``: input columns to return (None = all) — see
+    canonicalize_candidates on pruning through the UDF boundary."""
 
     def run(batches):
         import pyarrow as pa
@@ -87,7 +91,7 @@ def _arrow_canon_runner(url_col: str, base_host_col: str | None):
                 stripped,
             )
             host_out = pc.if_else(valid, host, pa.array([""] * n))
-            out = pdf.copy()
+            out = pdf.copy() if out_cols is None else pdf[out_cols].copy()
             out["canon_url"] = canon.to_pandas()
             out["host"] = host_out.to_pandas()
             yield out
@@ -101,6 +105,7 @@ def canonicalize_candidates(
     base_host_col: str | None = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
     impl: str = "arrow",
+    output_cols: list[str] | None = None,
 ) -> DataFrame:
     """Normalize raw candidate URLs: resolve relative -> canonicalize ->
     hash -> bucket -> host.
@@ -112,14 +117,34 @@ def canonicalize_candidates(
     re-inlining; see the plan-shape note below). Hashing/bucketing stay
     JVM-side expressions either way. ``impl='expr'`` keeps the pure
     whole-stage-codegen path; both are property-tested equal.
+
+    ``output_cols``: input columns to carry through (default all).
+    Catalyst cannot prune columns THROUGH the opaque mapInPandas boundary,
+    so a caller that no longer needs the raw ``url`` downstream should
+    pass e.g. ``output_cols=['seq']`` — dropping the raw URL halves the
+    Arrow return payload on the frontier hot path.
     """
     if impl == "arrow":
+        fields = links.schema.fields
+        if output_cols is not None:
+            keep = set(output_cols) | {url_col} | (
+                {base_host_col} if base_host_col else set()
+            )
+            links = links.select(*[f.name for f in fields if f.name in keep])
+            out_fields = [
+                f for f in fields if f.name in set(output_cols)
+            ]
+        else:
+            out_fields = list(fields)
         schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in links.schema.fields
+            f"{f.name} {f.dataType.simpleString()}" for f in out_fields
         )
+        sep = ", " if schema else ""
         mapped = links.mapInPandas(
-            _arrow_canon_runner(url_col, base_host_col),
-            f"{schema}, canon_url string, host string",
+            _arrow_canon_runner(
+                url_col, base_host_col, [f.name for f in out_fields]
+            ),
+            f"{schema}{sep}canon_url string, host string",
         )
         return (
             mapped.filter(F.col("host") != "")

@@ -29,13 +29,27 @@ def schedule_wave(
     politeness: DataFrame | None,
     default_budget: int = DEFAULT_BUDGET,
     order_cols: tuple[str, ...] = ("priority", "seq"),
+    two_phase: bool = False,
 ) -> DataFrame:
     """Rank pending URLs within each host by (priority, seq) and keep the
     per-host budget; adds ``salt`` for downstream fetch distribution.
 
-    Returns the scheduled subset with a ``host_rank`` column. The window
-    shuffle partitions by host (exactly one shuffle); the politeness table
-    is broadcast (small dim).
+    Returns the scheduled subset with a ``host_rank`` column; the
+    politeness table is broadcast (small dim).
+
+    ``two_phase``: the quota rank runs in two window passes — (1) per
+    (host, presalt-shard) local top-budget, (2) exact per-host rank over
+    the <= N_SALT x budget survivors. The global per-host top-B is always
+    contained in the union of per-shard top-Bs, so the result is
+    IDENTICAL to the single window (property-tested). Turn it ON when a
+    supernode host's pending backlog is orders of magnitude above its
+    budget (at 10^10-frontier scale a hot host can hold 10^8 pending rows
+    — a single window task sorting that is the Amdahl cap; phase 1 splits
+    it across N_SALT tasks and prunes the phase-2 input to
+    N_SALT x budget). Left OFF by default because phase 1 adds a second
+    full shuffle of the pending set — measured 15-25% slower end-to-end
+    when per-(host, shard) groups are already near the budget (the
+    moderate-skew regime of the local bench).
     """
     if politeness is not None:
         pending = pending.join(
@@ -43,10 +57,21 @@ def schedule_wave(
         )
     else:
         pending = pending.withColumn("budget_per_wave", F.lit(None).cast("int"))
-    w = Window.partitionBy("host").orderBy(*[F.col(c).asc() for c in order_cols])
+    budget = F.coalesce(F.col("budget_per_wave"), F.lit(default_budget))
+    order = [F.col(c).asc() for c in order_cols]
+    if two_phase:
+        shard = F.pmod(F.xxhash64(F.col("canon_url"), F.lit(2)), F.lit(N_SALT)).cast("int")
+        w1 = Window.partitionBy("host", "_ps").orderBy(*order)
+        pending = (
+            pending.withColumn("_ps", shard)
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= budget)
+            .drop("_ps", "_r1")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
     scheduled = (
         pending.withColumn("host_rank", F.row_number().over(w))
-        .filter(F.col("host_rank") <= F.coalesce(F.col("budget_per_wave"), F.lit(default_budget)))
+        .filter(F.col("host_rank") <= budget)
         .drop("budget_per_wave")
     )
     # salt AFTER the quota cutoff: spreads a supernode host's scheduled rows

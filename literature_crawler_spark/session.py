@@ -40,7 +40,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Bigger Arrow batches amortize the per-batch Python round-trip of
+        # the canonicalizer kernel (measured: 64k batches cut frontier
+        # memory traffic stalls vs the 10k default)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Cap GC parallelism: in local mode G1 defaults to ~5/8 of the
         # machine's cores for GC threads ON TOP of the worker threads,

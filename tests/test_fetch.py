@@ -73,3 +73,33 @@ def test_engine_udf_fetch_equals_join_fetch(spark, tmp_path):
     join_state = run(str(tmp_path / "join"), None)
     udf_state = run(str(tmp_path / "udf"), fe.make_synthetic_fetcher(N_PAGES, N_HOSTS))
     assert join_state == udf_state
+
+
+def test_two_phase_schedule_equals_single(spark):
+    """schedule_wave(two_phase=True) — the skew-proof sharded quota rank —
+    must produce the IDENTICAL scheduled set and host_rank values as the
+    single-window rank (union-of-shard-top-Bs containment property)."""
+    from pyspark.sql import functions as F
+
+    from literature_crawler_spark.operators import frontier as fr
+    from literature_crawler_spark.operators import politeness as pol
+
+    cand = fr.canonicalize_candidates(
+        spark.range(30000).selectExpr(
+            "id",
+            "concat('https://h', cast(id % 23 as string), '.example.org/p/', cast(id as string)) as url",
+        )
+    )
+    pending = cand.select(
+        "canon_url", "url_hash", "host",
+        (F.col("id") % 3).alias("priority"), F.col("id").alias("seq"),
+    )
+    politeness = spark.createDataFrame(
+        [(f"h{k}.example.org", 100, 5 + k % 9) for k in range(23)],
+        "host string, min_interval_ms int, budget_per_wave int",
+    )
+    one = {(r.host, r.host_rank, r.canon_url)
+           for r in pol.schedule_wave(pending, politeness, two_phase=False).collect()}
+    two = {(r.host, r.host_rank, r.canon_url)
+           for r in pol.schedule_wave(pending, politeness, two_phase=True).collect()}
+    assert one == two and len(one) > 0
