@@ -609,16 +609,30 @@ def _video_frame_sample(spark, sf_dir):
 
 def _audio_feature_extract(spark, sf_dir):
     """Multimodal audio plumbing: fixed-length band-energy vector per blob
-    (deterministic fake spectrum; decode_audio is the marked swap point).
-    Rows-only."""
-    pages = syn.generate_pages(spark, 120, 10, with_images=True)
-    feat = im.audio_features(pages.select("image_id", "bytes"), "bytes", n_bands=16)
+    (decode_audio stays the marked real-codec swap point). Driver-checked:
+    the clip corpus has closed-form band energies (constant bytes per
+    band), so the DuckDB oracle recomputes n_bands and the energy sum from
+    the id arithmetic — a wrong band split/normalization mismatches."""
+    clips = syn.generate_audio(spark, 120, n_bands=16)
+    feat = im.audio_features(clips, "bytes", n_bands=16)
     return feat.select(
-        "image_id",
+        "audio_id",
         F.size("audio_feat").alias("n_bands"),
         F.round(
             F.aggregate("audio_feat", F.lit(0.0), lambda a, v: a + v.cast("double")), 4
         ).alias("energy_sum"),
+    )
+
+
+def _image_crop_stats(spark, sf_dir):
+    """Black-border crop (reference pic_back_deal.py edge scan) over a
+    bordered corpus with formula-known pads: the oracle predicts the
+    cropped dimensions exactly — an off-by-one or wrong border color
+    mismatches every row."""
+    bordered = syn.generate_bordered_images(spark, 120)
+    out = im.crop_black_borders(bordered, "bytes")
+    return out.select(
+        "image_id", "crop_w", "crop_h", F.col("cropped").isNotNull().alias("ok")
     )
 
 
@@ -970,10 +984,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "image_resize_stats": _image_resize_stats,
         "video_frame_sample": _video_frame_sample,
-        # genuinely rows-only: the fake audio spectrum derives from raw
-        # codec bytes (no SQL twin), the wave loop's parity gate is the
-        # single-threaded oracle in tests/test_crawl_parity.py:
         "audio_feature_extract": _audio_feature_extract,
+        "image_crop_stats": _image_crop_stats,
+        # genuinely rows-only: the wave loop's correctness gate is the
+        # single-threaded oracle in tests/test_crawl_parity.py (BFS state
+        # has no SQL twin):
         "crawl_wave_e2e": _crawl_wave_e2e,
     }
 
@@ -1321,6 +1336,23 @@ def oracle_sql() -> dict[str, str]:
                     '(?s)<[^>]+>', ' ', 'g'),
                     '\\s+', ' ', 'g')) AS visible
             FROM d
+        """,
+        "audio_feature_extract": """
+            WITH i AS (SELECT unnest(range(0, 120)) AS i)
+            SELECT 'aud-' || lpad(CAST(i AS VARCHAR), 8, '0') AS audio_id,
+                   CAST(16 AS INT) AS n_bands,
+                   round(list_aggregate(
+                     list_transform(range(0, 16), b -> ((i * 7 + b * 13) % 6) / 5.0),
+                     'sum'), 4) AS energy_sum
+            FROM i
+        """,
+        "image_crop_stats": """
+            WITH i AS (SELECT unnest(range(0, 120)) AS i)
+            SELECT 'bimg-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+                   CAST(16 + i % 9 AS INT) AS crop_w,
+                   CAST(12 + i % 7 AS INT) AS crop_h,
+                   true AS ok
+            FROM i
         """,
         "pdf_toc_pages": """
             WITH i AS (SELECT unnest(range(0, 50)) AS i)

@@ -182,6 +182,63 @@ def generate_videos(
     )
 
 
+AUDIO_BAND_LEN = 256
+
+
+def generate_audio(spark: SparkSession, n_clips: int = 120, n_bands: int = 16) -> DataFrame:
+    """Deterministic fake audio blobs whose band energies are CLOSED-FORM:
+    byte k of clip i is ((i*7 + (k//256)*13) % 6) * 51 — constant within
+    each 256-byte band, so band b's mean/255 is exactly
+    ((i*7 + b*13) % 6) / 5. This makes operators.images.audio_features
+    oracle-checkable (the DuckDB twin recomputes the energies from the id
+    arithmetic) while the UDF still decodes real binary columns."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                vals = np.repeat(
+                    np.array([((i * 7 + b * 13) % 6) * 51 for b in range(n_bands)],
+                             dtype=np.uint8),
+                    AUDIO_BAND_LEN,
+                )
+                rows.append((f"aud-{i:08d}", vals.tobytes()))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    return spark.range(0, n_clips, numPartitions=max(2, min(8, n_clips // 50 or 2))).mapInPandas(
+        gen, "audio_id string, bytes binary"
+    )
+
+
+def generate_bordered_images(spark: SparkSession, n_images: int = 120) -> DataFrame:
+    """Images wrapped in the reference's (14,14,14) black border
+    (pic_back_deal.py) with formula-known inner dims and pads — the
+    crop operator's oracle-checkable corpus."""
+    from literature_crawler_spark.operators.images import BORDER_RGB
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 16 + i % 9, 12 + i % 7
+                top, bottom = 1 + i % 3, 2 + i % 2
+                left, right = i % 4, 1 + i % 3
+                inner = pixels_for_id(f"crop-{i}", w, h)
+                padded = np.full(
+                    (h + top + bottom, w + left + right, 3),
+                    BORDER_RGB[0], dtype=np.uint8,
+                )
+                padded[top : top + h, left : left + w] = inner
+                rows.append((f"bimg-{i:08d}", encode_image(padded, "png")))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return spark.range(0, n_images, numPartitions=max(2, min(8, n_images // 50 or 2))).mapInPandas(
+        gen, "image_id string, bytes binary"
+    )
+
+
 def generate_seeds(
     spark: SparkSession, n_seeds: int = 100, n_pages: int = 5000, n_hosts: int = 50
 ) -> DataFrame:
