@@ -15,6 +15,7 @@ the reference's Redis success/fail counters (``task_service.py:66-78``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,8 +61,13 @@ def seed_ingest_stream(
         n = rows.count()
         if n == 0:
             return
-        merged = rows if frontier is None else frontier.unionByName(rows)
-        store.commit("frontier", merged, mode="replace", wave=-1, meta={"stream_batch": batch_id})
+        # MERGE delta (new rows only) — the streaming twin of the wave
+        # loop's O(scheduled + new) commits; no full-frontier rewrite
+        store.commit(
+            "frontier", rows, mode="merge", wave=-1,
+            meta={"stream_batch": batch_id, "delta_rows": n},
+            merge_key=["url_hash"],
+        )
         store.commit(
             "seen", rows.select("url_hash", "canon_url", "bucket", "wave"),
             mode="append", wave=-1, meta={"added": n},
@@ -72,6 +78,55 @@ def seed_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def politeness_rate_limiter(
+    candidates_stream: DataFrame,
+    budget_per_batch: int = 10,
+    host_col: str = "host",
+    url_col: str = "canon_url",
+    carryover_cap: int | None = None,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-host token-bucket admission
+    across micro-batches via ``applyInPandasWithState``.
+
+    The reference's politeness is a serial loop with sleeps (SURVEY §2.8);
+    the batch engine turns that into per-wave window quotas
+    (operators/politeness.py). This is the streaming third form: each host
+    holds a token bucket refilled by ``budget_per_batch`` per micro-batch
+    it appears in; a host that under-uses its tokens banks the remainder
+    up to ``carryover_cap`` (default 2x budget) and may burst that much
+    later — while a flooding host can NEVER exceed its per-batch budget,
+    because admission state persists in the state store across batches
+    (exactly the thing a stateless per-batch window rank cannot enforce).
+    A host first seen in batch k starts with one budget (conservative).
+    Emits the admitted rows as (host, url, admitted_in_batch_rank).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cap = carryover_cap if carryover_cap is not None else 2 * budget_per_batch
+
+    def limiter(key, pdfs, state):
+        (host,) = key
+        (tokens,) = state.get if state.exists else (budget_per_batch,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(url_col, kind="mergesort")
+        admit = min(int(tokens), len(rows))
+        out = rows.iloc[:admit][[url_col]].copy()
+        out.insert(0, "host", host)
+        out["admitted_rank"] = range(1, admit + 1)
+        # refill AFTER spending: next batch sees leftover + one budget,
+        # capped so idle hosts cannot hoard unbounded burst
+        state.update((min(int(tokens) - admit + budget_per_batch, cap),))
+        yield out
+
+    return candidates_stream.groupBy(host_col).applyInPandasWithState(
+        limiter,
+        outputStructType=f"host string, {url_col} string, admitted_rank int",
+        stateStructType="tokens int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -105,3 +105,61 @@ def test_host_rate_monitor_windows(spark, tmp_path):
         ("2024-01-01T00:00:10", "h1"): 1,
         ("2024-01-01T00:00:00", "h2"): 1,
     }
+
+
+def test_politeness_rate_limiter_stateful(spark, tmp_path):
+    """applyInPandasWithState token bucket: admission state persists
+    ACROSS micro-batches — a host that exhausts its budget in batch 1 is
+    capped in batch 2, and an idle host's unused tokens carry over (up to
+    the cap). maxFilesPerTrigger=1 forces one batch per file."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from literature_crawler_spark.streaming import waves
+
+    src = tmp_path / "cands"
+    os.makedirs(str(src))
+    # batch 1: h1 floods (10 urls), h2 under-uses (1 url -> banks tokens)
+    with open(str(src / "a.json"), "w") as f:
+        f.write("\n".join(
+            [_json.dumps({"host": "h1", "canon_url": f"https://h1/{i:02d}"}) for i in range(10)]
+            + [_json.dumps({"host": "h2", "canon_url": "https://h2/seed"})]
+        ))
+    # batch 2: h1 floods again (10 more), h2 bursts 8
+    with open(str(src / "b.json"), "w") as f:
+        f.write("\n".join(
+            [_json.dumps({"host": "h1", "canon_url": f"https://h1/x{i:02d}"}) for i in range(10)]
+            + [_json.dumps({"host": "h2", "canon_url": f"https://h2/{i}"}) for i in range(8)]
+        ))
+    schema = T.StructType(
+        [T.StructField("host", T.StringType()), T.StructField("canon_url", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = waves.politeness_rate_limiter(stream, budget_per_batch=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admitted")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM admitted").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.canon_url)
+    # h1: batch1 admits 4 (budget), batch2 admits 4 (refill) -> 8 total,
+    # never more than budget per batch despite 20 candidates
+    assert len(by_host["h1"]) == 8
+    assert sorted(by_host["h1"])[:4] == [f"https://h1/{i:02d}" for i in range(4)]
+    # h2 admitted 1 of 4 tokens in batch 1, banked 3 + refill 4 = 7 ->
+    # bursts 7 of its 8 batch-2 candidates (8 total across the stream)
+    assert len(by_host["h2"]) == 8
+    assert all(1 <= r.admitted_rank <= 8 for r in rows)
