@@ -787,6 +787,47 @@ def _html_to_markdown(spark, sf_dir):
     )
 
 
+def _step_resources(spark, sf_dir):
+    """S5/J2 feed: two-level entityMap resource traversal (reference
+    get_all_uri_from_interface_steps — top-level image/video payloads plus
+    payload entities nested inside IMMUTABLE note-like entities) as a
+    typed array<struct> column, flattened for the oracle, which predicts
+    every (name, uri, mime) from the synthesized fixture."""
+    from literature_crawler_spark.operators import draftjs as dj
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    steps_json = F.concat(
+        F.lit('[{"number":"1","step":{"blocks":[],"entityMap":{'
+              '"0":{"type":"image","mutability":"IMMUTABLE","data":'
+              '{"original_name":"fig'), did,
+        F.lit('.png","source":"https://e.org/fig'), did,
+        F.lit('.png","mime":"image/png"}},'
+              '"1":{"type":"notes","mutability":"IMMUTABLE","data":{"blocks":[],'
+              '"entityMap":{"0":{"type":"file","mutability":"MUTABLE","data":'
+              '{"original_name":"data'), did,
+        F.lit('.csv","source":"https://e.org/d'), did,
+        F.lit('.csv"}}}}},'
+              '"2":{"type":"amount","mutability":"MUTABLE","data":{"amount":5}},'
+              '"3":{"type":"imageblock","mutability":"MUTABLE","data":'
+              '{"source":"https://e.org/b'), did,
+        F.lit('.png"}}}}}]'),
+    )
+    out = d.select(
+        "doc_id", dj.extract_step_resources_udf(steps_json).alias("resources")
+    )
+    return out.select(
+        "doc_id",
+        F.size("resources").alias("n_resources"),
+        F.concat_ws(
+            "|", F.transform("resources", lambda r: r["uri"])
+        ).alias("uris_joined"),
+        F.concat_ws(
+            "|", F.transform("resources", lambda r: F.concat_ws(":", r["original_name"], r["mime"]))
+        ).alias("names_joined"),
+    )
+
+
 def _pdf_toc_pages(spark, sf_dir):
     """PDF TOC + page raster (reference parse_pdf.py get_bookmarks /
     pdf_to_png_and_upload pure logic over the FPDF fake container):
@@ -968,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_authors_refs": _html_authors_refs,
         "html_to_markdown": _html_to_markdown,
         "pdf_toc_pages": _pdf_toc_pages,
+        "step_resources": _step_resources,
         # approximate / non-SQL operators, driver-checked as deterministic
         # comparisons against exact oracles (VERDICT r01 item 1): LSH and
         # IVF vs brute-force top-k, minhash/simhash vs exhaustive Jaccard,
@@ -1336,6 +1378,16 @@ def oracle_sql() -> dict[str, str]:
                     '(?s)<[^>]+>', ' ', 'g'),
                     '\\s+', ' ', 'g')) AS visible
             FROM d
+        """,
+        "step_resources": """
+            SELECT doc_id,
+                   CAST(3 AS INT) AS n_resources,
+                   'https://e.org/fig' || CAST(doc_id AS VARCHAR) || '.png|' ||
+                   'https://e.org/d' || CAST(doc_id AS VARCHAR) || '.csv|' ||
+                   'https://e.org/b' || CAST(doc_id AS VARCHAR) || '.png' AS uris_joined,
+                   'fig' || CAST(doc_id AS VARCHAR) || '.png:image/png|' ||
+                   'data' || CAST(doc_id AS VARCHAR) || '.csv:|:' AS names_joined
+            FROM documents WHERE doc_id < 100
         """,
         "audio_feature_extract": """
             WITH i AS (SELECT unnest(range(0, 120)) AS i)

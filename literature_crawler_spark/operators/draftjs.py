@@ -710,6 +710,109 @@ def render_steps(steps, units) -> str:
     return "\n\n".join(out)
 
 
+# ------------------------------------------------------ resource traversal ----
+
+# entity types that carry a downloadable payload and how to read it
+# (reference get_resource_attrs, protocol_io_util.py:95-149)
+_RESOURCE_READERS = {
+    "image": lambda d: (d.get("original_name"), d.get("source"), d.get("mime")),
+    "video": lambda d: (d.get("original_name"), d.get("source"), d.get("mime")),
+    "file": lambda d: (d.get("original_name"), d.get("source"), ""),
+    "imageblock": lambda d: ("", d.get("source"), ""),
+    "spectral": lambda d: ("", d.get("source"), ""),
+}
+
+
+def _resource_of(entity: dict) -> tuple | None:
+    data = entity.get("data")
+    if not isinstance(data, dict):
+        return None
+    reader = _RESOURCE_READERS.get(entity.get("type"))
+    if reader is None:
+        return None
+    name, uri, mime = reader(data)
+    return (name, uri, mime) if uri else None
+
+
+def extract_resources(steps) -> list[dict]:
+    """Downloadable resources from every step's entityMap, including the
+    TWO-LEVEL traversal: an IMMUTABLE non-image/video entity (notes,
+    safety, result, ...) may nest its own ``data.entityMap`` whose
+    entities carry the actual payloads (reference
+    get_all_uri_from_interface_steps, protocol_io_util.py:57-95).
+    Returns [{'original_name', 'uri', 'mime'}] in traversal order —
+    the download work-list the crawl's J2 anti-join consumes.
+
+    Deviation: an IMMUTABLE payload entity WITHOUT a nested entityMap
+    still emits its own resource here; the reference's branch structure
+    silently drops it (only MUTABLE entities reach get_resource_attrs
+    directly, :63-88)."""
+    if isinstance(steps, str):
+        try:
+            steps = json.loads(steps)
+        except (ValueError, TypeError):
+            return []
+    out = []
+
+    def emit(entity):
+        r = _resource_of(entity)
+        if r is not None:
+            out.append({"original_name": r[0], "uri": r[1], "mime": r[2]})
+
+    for step in steps or []:
+        content = step.get("step")
+        if isinstance(content, str):
+            try:
+                content = json.loads(content)
+            except (ValueError, TypeError):
+                continue
+        if not isinstance(content, dict):
+            continue
+        emap = content.get("entityMap") or {}
+        if isinstance(emap, list):
+            emap = {str(i): e for i, e in enumerate(emap)}
+        for entity in emap.values():
+            if entity.get("mutability") == "IMMUTABLE" and entity.get("type") not in (
+                "image", "video",
+            ):
+                data = entity.get("data")
+                nested = data.get("entityMap") if isinstance(data, dict) else None
+                if nested:
+                    if isinstance(nested, list):
+                        nested = {str(i): e for i, e in enumerate(nested)}
+                    for sub in nested.values():
+                        emit(sub)
+                else:
+                    emit(entity)
+            else:
+                emit(entity)
+    return out
+
+
+_RESOURCE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("original_name", T.StringType()),
+            T.StructField("uri", T.StringType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_RESOURCE_SCHEMA)
+def extract_step_resources_udf(steps_json: pd.Series) -> pd.Series:
+    """steps JSON -> array<struct<original_name, uri, mime>> download list."""
+    return pd.Series(
+        [
+            [(r["original_name"], r["uri"], r["mime"]) for r in extract_resources(s)]
+            if s is not None
+            else None
+            for s in steps_json
+        ]
+    )
+
+
 # -------------------------------------------------------------- Spark UDF ----
 
 

@@ -328,3 +328,60 @@ def test_render_rich_documents_udf(spark):
     )
     out = dj.render_rich_documents(df, "steps", "units").collect()[0]
     assert out.content_md == "## Step 1: mix\n\nadd `5mL` now\n\n"
+
+
+# ------------------------------------------------------ resource traversal --
+
+
+def test_extract_resources_two_level():
+    steps = [
+        {"number": "1", "step": {
+            "blocks": [],
+            "entityMap": {
+                "0": {"type": "image", "mutability": "IMMUTABLE",
+                      "data": {"original_name": "f.png", "source": "https://e/f.png",
+                               "mime": "image/png"}},
+                "1": {"type": "notes", "mutability": "IMMUTABLE",
+                      "data": {"blocks": [], "entityMap": {
+                          "0": {"type": "file", "mutability": "MUTABLE",
+                                "data": {"original_name": "data.csv",
+                                         "source": "https://e/d.csv"}},
+                          "1": {"type": "video", "mutability": "IMMUTABLE",
+                                "data": {"original_name": "v.mp4",
+                                         "source": "https://e/v.mp4",
+                                         "mime": "video/mp4"}},
+                      }}},
+                "2": {"type": "amount", "mutability": "MUTABLE",
+                      "data": {"amount": 5, "unit": "u1"}},  # no payload
+                "3": {"type": "imageblock", "mutability": "MUTABLE",
+                      "data": {"source": "https://e/b.png"}},
+                "4": {"type": "video", "mutability": "IMMUTABLE",  # direct video
+                      "data": {"original_name": "w.mp4", "source": "https://e/w.mp4",
+                               "mime": "video/mp4"}},
+                "5": {"type": "file", "mutability": "MUTABLE",
+                      "data": {"original_name": "no-src", "source": None}},  # dropped
+            },
+        }},
+    ]
+    got = dj.extract_resources(steps)
+    assert got == [
+        {"original_name": "f.png", "uri": "https://e/f.png", "mime": "image/png"},
+        {"original_name": "data.csv", "uri": "https://e/d.csv", "mime": ""},
+        {"original_name": "v.mp4", "uri": "https://e/v.mp4", "mime": "video/mp4"},
+        {"original_name": "", "uri": "https://e/b.png", "mime": ""},
+        {"original_name": "w.mp4", "uri": "https://e/w.mp4", "mime": "video/mp4"},
+    ]
+    assert dj.extract_resources("not json") == []
+    assert dj.extract_resources([{"number": "1", "step": "garbage"}]) == []
+
+
+def test_extract_step_resources_udf(spark):
+    steps = [{"number": "1", "step": {"blocks": [], "entityMap": {
+        "0": {"type": "image", "mutability": "IMMUTABLE",
+              "data": {"original_name": "a.png", "source": "https://e/a.png",
+                       "mime": "image/png"}}}}}]
+    df = spark.createDataFrame([(1, json.dumps(steps))], "doc_id int, steps string")
+    row = df.select(dj.extract_step_resources_udf("steps").alias("r")).collect()[0]
+    assert [x.asDict() for x in row.r] == [
+        {"original_name": "a.png", "uri": "https://e/a.png", "mime": "image/png"}
+    ]
