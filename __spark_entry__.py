@@ -848,6 +848,74 @@ def _pdf_toc_pages(spark, sf_dir):
     )
 
 
+def _asset_url_rewrite(spark, sf_dir):
+    """J3: per-document original->stored URL rewrite (the reference's
+    per-row string replace, text_deal.py:300-319) as one pair aggregation
+    + Arrow replace pass; includes a duplicate original with a competing
+    target to exercise the first-seen dedup pick. Oracle assembles the
+    rewritten text directly."""
+    from literature_crawler_spark.operators import assets as ast
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    docs = d.select(
+        F.col("doc_id").alias("doi"),
+        F.concat(
+            F.lit("see https://orig.e/a"), did, F.lit(".png and https://orig.e/b"),
+            did, F.lit(".pdf end"),
+        ).alias("content_md"),
+    )
+    mk = lambda o, n: F.struct(o.alias("o"), n.alias("n"))  # noqa: E731
+    assets = d.select(
+        F.col("doc_id").alias("doi"),
+        F.explode(
+            F.array(
+                mk(F.concat(F.lit("https://orig.e/a"), did, F.lit(".png")),
+                   F.concat(F.lit("oss://x/a"), did, F.lit(".png"))),
+                # duplicate original, lexically later target: must LOSE
+                mk(F.concat(F.lit("https://orig.e/a"), did, F.lit(".png")),
+                   F.concat(F.lit("oss://z/a"), did, F.lit(".png"))),
+                mk(F.concat(F.lit("https://orig.e/b"), did, F.lit(".pdf")),
+                   F.concat(F.lit("oss://x/b"), did, F.lit(".pdf"))),
+            )
+        ).alias("r"),
+    ).select("doi", F.col("r.o").alias("original_path"), F.col("r.n").alias("oss_path"))
+    out = ast.rewrite_asset_urls(docs, assets, key="doi")
+    return out.select(F.col("doi").alias("doc_id"), "content_md")
+
+
+def _steps_units_resolution(spark, sf_dir):
+    """J7: quantity-block unit resolution as a Catalyst MapType lookup
+    (render.resolve_units element_at; the reference scans a units list
+    per renderer call). Unknown unit ids fall back to the raw id,
+    mirroring the reference's silent miss."""
+    from literature_crawler_spark.operators import render as rn
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    steps_json = F.concat(
+        F.lit('[{"number":"1","blocks":[{"type":"quantity","qty":"5","unit_id":"u'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('"}]}]'),
+    )
+    units = F.create_map(F.lit("u0"), F.lit("mL"), F.lit("u1"), F.lit("g"))
+    out = rn.render_documents(
+        d.select("doc_id", steps_json.alias("steps"), units.alias("units")),
+        "steps", units_map_col="units",
+    )
+    return out.select("doc_id", "content_md")
+
+
+def _text_thirds(spark, sf_dir):
+    """§2.7 math: thirds split with the reference's remainder distribution
+    (text_deal.py:24-32)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tx.content_thirds(F.col("text"))
+    return d.select(
+        "doc_id",
+        t["p1"].alias("p1"), t["p2"].alias("p2"), t["p3"].alias("p3"),
+    )
+
+
 def _section_collect_map(spark, sf_dir):
     """A3: group-by-section ordered accumulation (the reference's manual
     dict-of-lists per section, protocol_io_util.py:1764-1773) as
@@ -1010,6 +1078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_to_markdown": _html_to_markdown,
         "pdf_toc_pages": _pdf_toc_pages,
         "step_resources": _step_resources,
+        "asset_url_rewrite": _asset_url_rewrite,
+        "steps_units_resolution": _steps_units_resolution,
+        "text_thirds": _text_thirds,
         # approximate / non-SQL operators, driver-checked as deterministic
         # comparisons against exact oracles (VERDICT r01 item 1): LSH and
         # IVF vs brute-force top-k, minhash/simhash vs exhaustive Jaccard,
@@ -1378,6 +1449,35 @@ def oracle_sql() -> dict[str, str]:
                     '(?s)<[^>]+>', ' ', 'g'),
                     '\\s+', ' ', 'g')) AS visible
             FROM d
+        """,
+        "asset_url_rewrite": """
+            SELECT doc_id,
+                   'see oss://x/a' || CAST(doc_id AS VARCHAR) ||
+                   '.png and oss://x/b' || CAST(doc_id AS VARCHAR) || '.pdf end'
+                   AS content_md
+            FROM documents WHERE doc_id < 100
+        """,
+        "steps_units_resolution": """
+            SELECT doc_id,
+                   '## Step 1' || chr(10) || chr(10) ||
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN '5 mL' WHEN 1 THEN '5 g' ELSE '5 u2' END
+                   AS content_md
+            FROM documents WHERE doc_id < 100
+        """,
+        "text_thirds": """
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n,
+                     CAST(floor(length(text) / 3) AS INT) AS third,
+                     CAST(length(text) % 3 AS INT) AS rem
+              FROM documents)
+            SELECT doc_id,
+                   substr(text, 1, third + CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS p1,
+                   substr(text, third + CASE WHEN rem > 0 THEN 1 ELSE 0 END + 1,
+                          third + CASE WHEN rem > 1 THEN 1 ELSE 0 END) AS p2,
+                   substr(text, 2 * third + CASE WHEN rem > 0 THEN 1 ELSE 0 END
+                                + CASE WHEN rem > 1 THEN 1 ELSE 0 END + 1, n) AS p3
+            FROM t
         """,
         "step_resources": """
             SELECT doc_id,

@@ -118,6 +118,22 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def content_thirds(text: Column) -> Column:
+    """struct(p1, p2, p3): split text into thirds with the reference's
+    remainder distribution — the first parts absorb the remainder one
+    char each (text_deal.py:24-32 ``content_split``)."""
+    n = F.length(text)
+    third = F.floor(n / 3).cast("int")
+    rem = n % 3
+    len1 = third + F.when(rem > 0, 1).otherwise(0)
+    len2 = third + F.when(rem > 1, 1).otherwise(0)
+    return F.struct(
+        F.substring(text, F.lit(1), len1).alias("p1"),
+        F.substring(text, len1 + 1, len2).alias("p2"),
+        F.substring(text, len1 + len2 + 1, n).alias("p3"),
+    )
+
+
 def fingerprint64(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized text
     (whitespace-collapsed, lower-cased) — the exact-dup key."""
