@@ -92,6 +92,42 @@ def extract_related(html: Column) -> Column:
     )
 
 
+def extract_abstract(html: Column) -> Column:
+    """Visible text of the Abs1-content section (reference
+    get_abstract_by_html, nature_protocol_clean_util.py:107-112)."""
+    section = F.regexp_extract(
+        html, r'(?is)<div[^>]*id="Abs1-content"[^>]*>(.*?)</div>', 1
+    )
+    return F.nullif(
+        F.trim(F.regexp_replace(F.regexp_replace(section, r"(?s)<[^>]+>", " "), r"\s+", " ")),
+        F.lit(""),
+    )
+
+
+def extract_issue(html: Column) -> Column:
+    """citation_issue meta content (reference get_issue_by_html,
+    nature_protocol_clean_util.py:100-105); attribute order free."""
+    name_first = r'(?is)<meta[^>]*name=["\']citation_issue["\'][^>]*content=["\']([^"\']*)["\']'
+    content_first = r'(?is)<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']citation_issue["\']'
+    return F.coalesce(
+        F.nullif(F.trim(F.regexp_extract(html, name_first, 1)), F.lit("")),
+        F.nullif(F.trim(F.regexp_extract(html, content_first, 1)), F.lit("")),
+    )
+
+
+def document_attachment_attrs(documents: Column) -> Column:
+    """array<struct<name, uri>> from a documents payload array — the
+    reference's per-attachment (ofn | filename fallback, url) pick
+    (get_documents_attrs, protocol_io_util.py:152-158)."""
+    return F.transform(
+        documents,
+        lambda d: F.struct(
+            F.coalesce(F.nullif(d["ofn"], F.lit("")), d["filename"]).alias("name"),
+            d["url"].alias("uri"),
+        ),
+    )
+
+
 def extract_key_points(html: Column) -> Column:
     """``array<string>`` of key-point list items (reference
     get_key_points_by_html: lis under the Abs2-content section)."""

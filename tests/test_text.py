@@ -118,3 +118,36 @@ def test_clean_struct_extraction(spark):
         {"title": "More work", "uri": "/doi/full/10.1/b", "doi": "10.1/b"}
     ]
     assert list(row.kp) == ["point one", "point two"]
+
+
+def test_clean_abstract_issue_attachments(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from literature_crawler_spark.functions import clean as cl
+
+    html = (
+        '<html><meta content="42" name="citation_issue">'
+        '<div id="Abs1-content"><p>We  present</p> a <b>method</b>.</div>'
+        '<div id="Abs2-content"><li>kp</li></div></html>'
+    )
+    doc_schema = T.ArrayType(T.StructType([
+        T.StructField("ofn", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]))
+    df = spark.createDataFrame(
+        [(html, [("nice.pdf", "x1.pdf", "https://e/1.pdf"), ("", "fb.pdf", "https://e/2.pdf")])],
+        T.StructType([T.StructField("html", T.StringType()), T.StructField("docs", doc_schema)]),
+    )
+    row = df.select(
+        cl.extract_abstract(F.col("html")).alias("ab"),
+        cl.extract_issue(F.col("html")).alias("iss"),
+        cl.document_attachment_attrs(F.col("docs")).alias("att"),
+    ).collect()[0]
+    assert row.ab == "We present a method ."
+    assert row.iss == "42"
+    assert [a.asDict() for a in row.att] == [
+        {"name": "nice.pdf", "uri": "https://e/1.pdf"},
+        {"name": "fb.pdf", "uri": "https://e/2.pdf"},
+    ]
