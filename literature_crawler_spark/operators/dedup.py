@@ -60,6 +60,7 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.5,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -67,6 +68,13 @@ def minhash_lsh_pairs(
     -> self-join on (band, band_hash) -> distinct candidate pairs -> verify
     with exact Jaccard on the shingle sets. Returns (id_a, id_b, jaccard)
     with id_a < id_b.
+
+    ``cache_shingles``: persist the (id, shingles, signature) projection —
+    the banding branch and BOTH verify joins scan it, so uncached plans
+    recompute the shingle hashing three times (measured ~2x the query's
+    wall time at sf0.1). Disable at corpus scales where the shingle
+    arrays exceed cluster cache; the three scans then recompute (CPU for
+    memory).
     """
     rows = n_perm // n_bands
     sig = _with_shingle_hashes(df, text_col, shingle_n).select(
@@ -74,6 +82,8 @@ def minhash_lsh_pairs(
         F.col("_sh"),
         hashing.minhash_signature(F.col("_sh"), n_perm).alias("_sig"),
     )
+    if cache_shingles:
+        sig = sig.persist()
     # Shuffle-payload discipline: the band join ships ONLY (id, band keys) —
     # n_bands x 24 B/doc — never the shingle arrays (KBs/doc, and exploding
     # them n_bands times would multiply that again). Shingles re-join only
