@@ -180,9 +180,6 @@ def canonicalize_candidates(
 # against the path, not the full URI).
 _SCHEME_HOST_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
 
-_RULE_STRUCT_T = "array<struct<rx:string,ln:int,allow:boolean>>"
-
-
 def robots_rule_regex(pattern) -> F.Column:
     """Translate a robots rule pattern into an anchored RE2-safe regex
     (RFC 9309 §2.2.3): ``*`` matches any run of characters, a trailing
