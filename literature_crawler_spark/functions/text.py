@@ -120,17 +120,21 @@ def lang_id(text: Column) -> Column:
 
 def content_thirds(text: Column) -> Column:
     """struct(p1, p2, p3): split text into thirds with the reference's
-    remainder distribution — the first parts absorb the remainder one
-    char each (text_deal.py:24-32 ``content_split``)."""
+    EXACT slice boundaries (text_deal.py:24-32 ``content_split``):
+    part1 = text[: third + (rem>0)], part2 ends at 2*third + (rem>1),
+    part3 starts there. Quirk faithfully preserved: for rem == 1 part2 is
+    one char SHORTER than a third (``'abcd'`` -> ``('ab', '', 'cd')``) —
+    the boundaries are absolute offsets, not cumulative lengths, so
+    part1's absorbed remainder char comes out of part2."""
     n = F.length(text)
     third = F.floor(n / 3).cast("int")
     rem = n % 3
     len1 = third + F.when(rem > 0, 1).otherwise(0)
-    len2 = third + F.when(rem > 1, 1).otherwise(0)
+    end2 = third * 2 + F.when(rem > 1, 1).otherwise(0)
     return F.struct(
         F.substring(text, F.lit(1), len1).alias("p1"),
-        F.substring(text, len1 + 1, len2).alias("p2"),
-        F.substring(text, len1 + len2 + 1, n).alias("p3"),
+        F.substring(text, len1 + 1, F.greatest(end2 - len1, F.lit(0))).alias("p2"),
+        F.substring(text, end2 + 1, n).alias("p3"),
     )
 
 

@@ -212,6 +212,83 @@ def extract_doi_ladder(text: Column) -> Column:
     return F.coalesce(standardise_doi(hit), hit)
 
 
+# arXiv-ID ladder, strict to loose (reference pdf2doi/patterns.py:60-72
+# ``arxiv_regexp``): v0 "arXiv: YYMM.number(vn)", v1 filename form ending
+# ".pdf", v2 whole-string ID (metadata). Reference matches with re.I; the
+# extractors below lowercase the input instead.
+ARXIV_LADDER = [
+    r"arxiv\s*:\s*(\d{4}\.\d+)(?:v\d+)?(?:[\s\n\"<]|$)",
+    r"(\d{4}\.\d+)(?:v\d+)?\.pdf",
+    r"^(\d{4}\.\d+)(?:v\d+)?$",
+]
+
+
+def extract_arxiv_ladder(text: Column) -> Column:
+    """arXiv-ID extraction ladder, first tier that hits wins (reference
+    pdf2doi/finders.py:189-213 ``extract_arxivID_from_text`` iterated over
+    versions as in finders.py:341-346)."""
+    lowered = F.lower(text)
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(lowered, p, 1), F.lit("")) for p in ARXIV_LADDER]
+    )
+
+
+def extract_identifier(text: Column) -> Column:
+    """struct(identifier, identifier_type) with the reference's
+    ``find_identifier_in_text`` ordering (pdf2doi/finders.py:294-356):
+    the full DOI ladder first, then the arXiv ladder. A found arXiv ID is
+    replaced by its arXiv DOI ``10.48550/arXiv.<id>`` with type
+    'arxiv DOI' (finders.py:668-687 — the offline branch of
+    ``replace_arxivID_by_DOI_when_available``, which is the default; web
+    validation tiers are network-bound and out of scope)."""
+    doi = extract_doi_ladder(text)
+    arx = extract_arxiv_ladder(text)
+    ident = F.coalesce(
+        doi, F.when(arx.isNotNull(), F.concat(F.lit("10.48550/arXiv."), arx))
+    )
+    itype = F.when(doi.isNotNull(), F.lit("DOI")).when(
+        arx.isNotNull(), F.lit("arxiv DOI")
+    )
+    return F.struct(ident.alias("identifier"), itype.alias("identifier_type"))
+
+
+def find_identifier_ladder(
+    pdf_info_values: Column, filename: Column, text: Column
+) -> Column:
+    """The pdf2doi finder-source ladder: pdf-info -> filename -> text
+    (reference pdf2doi/finders.py:627-790 ordering; the title-google /
+    web-validation tiers are network-bound and excluded).
+
+    * ``pdf_info_values``: ARRAY of document-info value strings, in check
+      order — the caller puts keysToCheckFirst first and excludes
+      '/wps-journaldoi' (finders.py:713-726). First value with a valid
+      identifier wins.
+    * ``filename``: %-unquoted, then progressively extension-stripped
+      LONGEST-first — '10.1227/123.pdf' is tried whole, then without
+      '.pdf', matching finders.py:741-760's reversed accumulate. (Spark's
+      url_decode also folds '+' to space, a superset of the reference's
+      unquote — harmless for identifier grammars, which reject both.)
+    * ``text``: plain in-text extraction, the last resort.
+
+    Returns the same struct as ``extract_identifier``.
+    """
+    info_hits = F.filter(
+        F.transform(pdf_info_values, extract_identifier),
+        lambda s: s["identifier"].isNotNull(),
+    )
+    fname = F.url_decode(filename)
+    parts = F.split(fname, r"\.")
+    candidates = F.transform(
+        F.sequence(F.size(parts), F.lit(1), F.lit(-1)),
+        lambda k: F.array_join(F.slice(parts, F.lit(1), k), "."),
+    )
+    fn_hits = F.filter(
+        F.transform(candidates, extract_identifier),
+        lambda s: s["identifier"].isNotNull(),
+    )
+    return F.coalesce(F.get(info_hits, 0), F.get(fn_hits, 0), extract_identifier(text))
+
+
 def extract_doi(text: Column) -> Column:
     """DOI extraction ladder (reference pdf2doi/patterns.py:26-55):
     try the strict ``10.xxxx/...`` form, then looser variants, first hit wins.

@@ -24,8 +24,11 @@ Arrow batches. Two layouts:
 Correctness invariant: the store must always be a SUPERSET of the
 committed ``seen`` table (merge bloom BEFORE committing seen) — false
 positives only cost a wasted exact-join probe; a stale/missing key would
-be a false negative and skip the exact join, so the engine merges deltas
-first and rebuilds the store if it is behind.
+be a false negative and skip the exact join. Enforced two ways: deltas
+merge into the store BEFORE each seen commit, and the store records a
+seen-snapshot watermark (``set_watermark``) that CrawlEngine checks on
+open — a store behind the committed seen set is re-merged (idempotent
+OR) before any probe runs.
 """
 
 from __future__ import annotations
@@ -207,6 +210,16 @@ class BucketedBloomStore:
         per_bucket = max(expected_items // n_buckets, 1)
         n_bits, k = optimal_params(per_bucket, fpp)
         os.makedirs(root, exist_ok=True)
+        # a fresh store must not inherit bitmaps (possibly differently
+        # sized/keyed) from an earlier run in the same root
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(root, "b*.bloom")):
+            os.remove(stale)
+        try:
+            os.remove(os.path.join(root, "_watermark.json"))
+        except OSError:
+            pass
         with open(os.path.join(root, "_params.json"), "w") as f:
             json.dump({"n_buckets": n_buckets, "n_bits": n_bits, "k": k}, f)
         return cls(root, n_buckets, n_bits, k)
@@ -222,6 +235,28 @@ class BucketedBloomStore:
 
     def bucket_path(self, bucket: int) -> str:
         return os.path.join(self.root, f"b{bucket:05d}.bloom")
+
+    # ------------------------------------------------------- watermark ----
+    # The superset invariant (store ⊇ committed seen) only holds if the
+    # store was maintained alongside every seen commit. The watermark
+    # records the last seen-snapshot id the store provably covers, so a
+    # reopened store that is BEHIND the seen table (e.g. earlier runs with
+    # a different use_bloom mode) is detected and re-merged instead of
+    # silently producing false negatives. OR-merges are idempotent, so
+    # re-merging after a crash between merge and watermark write is safe.
+    def watermark(self) -> int | None:
+        try:
+            with open(os.path.join(self.root, "_watermark.json")) as f:
+                return json.load(f)["seen_snapshot"]
+        except (OSError, KeyError, ValueError):
+            return None
+
+    def set_watermark(self, seen_snapshot: int) -> None:
+        path = os.path.join(self.root, "_watermark.json")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"seen_snapshot": seen_snapshot}, f)
+        os.replace(tmp, path)
 
     # ----------------------------------------------------------- merge ----
     def merge(self, df: DataFrame, hash_col: str = "url_hash") -> dict[int, int]:

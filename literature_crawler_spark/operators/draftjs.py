@@ -42,6 +42,7 @@ ported where the reference behavior is an evident defect):
 
 from __future__ import annotations
 
+import html as _html_mod
 import json
 import re
 
@@ -94,16 +95,19 @@ def escape_markdown(text: str) -> str:
     return text
 
 
-_ABC_RE = re.compile(r"(^ {8,})([a-j]\.)(.*)", re.MULTILINE)
+_ABC_RE = re.compile(r"(^ {8,})([a-z]\.)(.*)", re.MULTILINE)
 
 
 def abc_to_numbered(text: str) -> str:
-    """Deep-indented 'a.'..'j.' ladder -> 4-space-indented '1.'..'10.'
-    (reference get_abc_pattern_result, text_deal.py:83-124)."""
+    """Deep-indented 'a.'..'z.' ladder (reference get_abc_pattern_result,
+    text_deal.py:83-124): the 8+-space indent always collapses to 4
+    spaces; only 'a.'..'j.' renumber to '1.'..'10.' (the reference's
+    if/elif ladder stops at 'j.'), 'k.'..'z.' keep their letter."""
 
     def sub(m: re.Match) -> str:
-        n = ord(m.group(2)[0]) - ord("a") + 1
-        return f"    {n}.{m.group(3)}"
+        letter = m.group(2)[0]
+        marker = f"{ord(letter) - ord('a') + 1}." if letter <= "j" else m.group(2)
+        return f"    {marker}{m.group(3)}"
 
     return _ABC_RE.sub(sub, text)
 
@@ -697,6 +701,11 @@ def render_steps(steps, units) -> str:
     out = []
     for s in steps:
         section = s.get("section")
+        if section:
+            # the reference strips markup first (BeautifulSoup .text,
+            # protocol_io_util.py:2074-2076), so HTML-tagged sections
+            # dedup and render identically to their plain-text twins
+            section = _html_mod.unescape(re.sub(r"<[^>]*>", "", section))
         if section and section not in seen_sections:
             seen_sections.add(section)
             out.append(f"# {section}")

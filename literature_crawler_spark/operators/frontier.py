@@ -272,6 +272,7 @@ def dedup_against_seen(
     use_bloom: bool | str = "auto",
     expected_seen: int | None = None,
     bloom_store: "bloom_mod.BucketedBloomStore | None" = None,
+    released: list | None = None,
 ) -> DataFrame:
     """Candidates not yet in the seen set.
 
@@ -288,6 +289,12 @@ def dedup_against_seen(
     ``bloom_store``: a pre-maintained BucketedBloomStore covering (a
     superset of) ``seen`` — the 10^10 path: no per-call build, no driver
     bitmap, probes hit per-bucket files through the executor cache.
+
+    ``released``: the Bloom path persists the probed candidates so both
+    union branches read one materialization; the handle is appended here
+    so the CALLER can unpersist once its consumers have run (a long wave
+    loop would otherwise strand one cached DataFrame per wave — VERDICT
+    r02 item 3). If None, the cache is left to Spark's LRU eviction.
     """
     if seen is None:
         return candidates
@@ -310,6 +317,8 @@ def dedup_against_seen(
     # one materialization instead of re-running the upstream pipeline
     # (canonicalize + probe) twice
     maybe = candidates.withColumn("_maybe_seen", probe).persist()
+    if released is not None:
+        released.append(maybe)
     definitely_new = maybe.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = maybe.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     checked = needs_check.join(seen_keys, "url_hash", "left_anti")

@@ -1,0 +1,157 @@
+"""Publish tail: literature-type mapping + protocol-number assignment +
+the final-serving fan-out (literature row, author/keyword dims + link
+tables, conflict strategies).
+
+Reference: ``app/service/nature_protocol/process_task/
+nature_protocol_publish.py`` — ``get_literature_type`` (:43-65, the
+param -> (type, has_protocol) elif ladder), ``migrate_data`` (:68-185:
+per-row loop over clean ids doing skip/update/insert conflict handling,
+'%d %B %Y' publish-date parse with swallowed ValueError, protocol-number
+assignment via ``get_protocol_max_id`` MAX(id)+1 with a 20000 floor,
+author-name collection skipping entries without a 'name', keyword/author
+``insert_or_select_id`` + link-table inserts) and ``app/util/
+migrate_util.py:60-83`` (``insert_protocol``/``get_protocol_max_id``).
+
+Spark-first shape: the mapping is one CASE expression (codegen, no UDF);
+the MAX(id)+1-with-floor sequence — a driver-side race in the reference
+— becomes the engine's dense two-phase numbering
+(``plans.crawl.assign_global_seq``: range-repartition + per-partition
+window + offset map, only per-partition counts hit the driver); the
+dim/link fan-out reuses ``operators.assets.upsert_dimension`` /
+``link_table`` (hash ids, broadcast joins). At 100 TB nothing here
+shuffles more than once per output table and no dimension is driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# param -> (literature_type, has_protocol); transcribed from
+# nature_protocol_publish.py:43-65 including the reference's typo
+# ('Retracion') and its implicit None for unmapped params (the elif
+# ladder falls through).
+LITERATURE_TYPE_MAP: list[tuple[list[str], str, bool]] = [
+    (["Addendum", "Corrigendum", "Erratum"], "erratum", True),
+    (["Author Correction", "Publisher Correction", "Retracion"], "correction", True),
+    (["Consensus Statement", "Consensus"], "consensus", False),
+    (["Correspondence"], "correspondence", False),
+    (["Editorial"], "editorial", False),
+    (["Matters Arising"], "matters", False),
+    (["News & Views"], "views", False),
+    (["Perspective"], "perspective", False),
+    (["Poster"], "poster", True),
+    (["Protocol", "Protocol Extension", "Protocol Update"], "protocol", True),
+    (["Review Article"], "review", True),
+]
+
+PROTOCOL_NUMBER_FLOOR = 20000  # nature_protocol_publish.py:127-133
+
+
+def literature_type(param: Column) -> Column:
+    """struct(lit_type, has_protocol) — the ``get_literature_type``
+    ladder as one chained CASE expression (NULL/NULL for unmapped
+    params, the reference's fall-through None)."""
+    t: Column | None = None
+    p: Column | None = None
+    for params, lt, flag in LITERATURE_TYPE_MAP:
+        cond = param.isin(params)
+        t = F.when(cond, F.lit(lt)) if t is None else t.when(cond, F.lit(lt))
+        p = F.when(cond, F.lit(flag)) if p is None else p.when(cond, F.lit(flag))
+    return F.struct(t.alias("lit_type"), p.alias("has_protocol"))
+
+
+def parse_publish_date(s: Column) -> Column:
+    """'%d %B %Y' -> date, NULL on mismatch (the reference's
+    try/strptime/except-None, nature_protocol_publish.py:115-120).
+    ``try_to_timestamp`` is the expression twin of the swallowed
+    ValueError."""
+    return F.try_to_timestamp(s, F.lit("d MMMM yyyy")).cast("date")
+
+
+def assign_protocol_numbers(
+    flagged: DataFrame,
+    order_cols: list[str],
+    existing_max: int | None = None,
+) -> DataFrame:
+    """Dense protocol numbers for the has_protocol rows.
+
+    Reference semantics (nature_protocol_publish.py:126-134): each insert
+    takes MAX(id)+1 when the table has grown past 19999, else jumps to
+    the 20000 floor — i.e. a dense sequence starting at
+    ``max(existing_max + 1, 20000)``. The per-row SELECT MAX race becomes
+    one deterministic numbering pass in ``order_cols`` order
+    (assign_global_seq — scalable, per-partition windows only).
+    """
+    from literature_crawler_spark.plans.crawl import assign_global_seq
+
+    start = max((existing_max or 0) + 1, PROTOCOL_NUMBER_FLOOR)
+    out = assign_global_seq(flagged, order_cols, start=start)
+    return out.withColumnRenamed("seq", "protocol_number")
+
+
+def author_names(authors: Column) -> Column:
+    """Non-empty author names from an array<struct> with a ``name``
+    field — the reference's collection loop skips entries missing 'name'
+    or with a falsy value (nature_protocol_publish.py:134-139)."""
+    return F.transform(
+        F.filter(authors, lambda a: a["name"].isNotNull() & (a["name"] != "")),
+        lambda a: a["name"],
+    )
+
+
+def publish_literature(
+    clean: DataFrame,
+    existing: DataFrame | None = None,
+    conflict_strategy: str = "insert",
+    existing_protocol_max: int | None = None,
+) -> dict[str, DataFrame]:
+    """The migrate_data fan-out as declarative plans.
+
+    ``clean`` columns: literature_id, title, doi, abstract_text,
+    param (raw literature-type string), publish_date_str, keywords
+    array<string>, authors array<struct<name,type,institution>>.
+
+    Returns {'literature', 'protocol', 'keywords_dim', 'authors_dim',
+    'literature_keywords', 'literature_authors'} DataFrames — the
+    normalized serving schema. ``conflict_strategy`` mirrors the
+    reference: 'skip' drops rows whose literature_id exists, 'update'
+    keeps them for the caller's MERGE (plans.state upsert path),
+    'insert' assumes a clean target.
+    """
+    from literature_crawler_spark.operators import assets as ast
+
+    lt = literature_type(F.col("param"))
+    rows = clean.withColumn("lit_type", lt["lit_type"]).withColumn(
+        "has_protocol", lt["has_protocol"]
+    )
+    if existing is not None and conflict_strategy == "skip":
+        rows = rows.join(
+            existing.select("literature_id"), "literature_id", "left_anti"
+        )
+    rows = rows.withColumn("publish_date", parse_publish_date(F.col("publish_date_str")))
+    literature = rows.select(
+        "literature_id", "title", "doi", "abstract_text",
+        F.col("lit_type").alias("literature_type"), "publish_date",
+    )
+    protocol = assign_protocol_numbers(
+        rows.filter(F.col("has_protocol")).select(
+            "literature_id", "doi", "title", "publish_date",
+            author_names(F.col("authors")).alias("author_names"), "keywords",
+        ),
+        ["literature_id"],
+        existing_max=existing_protocol_max,
+    )
+    kw_dim = ast.upsert_dimension(rows, "keywords")
+    au = rows.select(
+        "literature_id", author_names(F.col("authors")).alias("names")
+    )
+    au_dim = ast.upsert_dimension(au, "names")
+    return {
+        "literature": literature,
+        "protocol": protocol,
+        "keywords_dim": kw_dim,
+        "authors_dim": au_dim,
+        "literature_keywords": ast.link_table(rows, "literature_id", "keywords", kw_dim),
+        "literature_authors": ast.link_table(au, "literature_id", "names", au_dim),
+    }

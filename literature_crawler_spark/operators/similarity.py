@@ -45,6 +45,8 @@ def cosine_batch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     candidate PAIRS the per-row 2x dim-term fold dominated the near-dup
     query (measured ~4s of its 4.2s at sf0.1); the vectorized form does
     the same arithmetic batch-at-a-time."""
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
     ma = np.array(a.tolist(), dtype=np.float64)
     mb = np.array(b.tolist(), dtype=np.float64)
     dots = np.einsum("ij,ij->i", ma, mb)
@@ -324,43 +326,87 @@ def default_near_dup_planes(n_rows: int, target_bucket: int = 64) -> int:
     return max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
 
 
+def default_near_dup_tables(
+    threshold: float,
+    n_planes: int,
+    target_recall: float = 0.9,
+    max_tables: int = 8,
+) -> int:
+    """Smallest hash-table count whose theoretical recall for a pair at
+    exactly the threshold angle reaches ``target_recall``:
+    recall = 1-(1-p^planes)^tables with p = 1-acos(threshold)/pi.
+
+    Pairs strictly inside the threshold have higher recall; exact
+    duplicates (theta=0) collide in every table regardless. Scaling
+    tables down with threshold is the VERDICT r02 fix: candidate-pair
+    volume (the measured cost driver) is linear in n_tables, and 8
+    tables is recall-overkill at 0.9/0.95."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p = 1.0 - theta / math.pi
+    miss = 1.0 - p**n_planes
+    if miss <= 0.0:
+        return 1
+    t = math.ceil(math.log(1.0 - target_recall) / math.log(miss))
+    return max(1, min(max_tables, t))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
     n_planes: int | None = None,
-    n_tables: int = 8,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     expected_rows: int | None = None,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane
     LSH: (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold.
 
-    Scale shape (fixes the round-1 single-table 64-bucket quadratic):
-    * plane count defaults to log2(rows/128) — bucket population stays
-      ~constant as the corpus grows, so each (table, bucket) self-join is
-      bounded;
-    * the bucket join ships only (id, table, bucket) keys; vectors join
-      back onto the deduped candidate pairs for the cosine verify
-      (same payload discipline as lsh_topk);
-    * recall for a pair at angle θ is 1-(1-(1-θ/π)^planes)^tables —
-      e.g. cosine 0.9, 6 planes, 8 tables ≈ 0.98; exact duplicates
-      (θ=0) collide in every table, recall 1.
+    Scale shape (round-2 fixed the single-table quadratic; round 3 fixes
+    the double-signature self-join — VERDICT r02 item 1):
+    * plane count defaults to log2(rows/64) — bucket population stays
+      ~constant as the corpus grows, so within-bucket pair generation is
+      bounded; table count defaults to the smallest reaching
+      ``target_recall`` at the threshold angle (fewer tables at higher
+      thresholds — candidate volume is linear in tables);
+    * the signature UDF runs ONCE over the corpus; candidate pairs come
+      from ONE shuffle — groupBy (table, bucket), sort the bounded id
+      list, emit combinations with an array transform — instead of a
+      bucket self-join that re-evaluates the matmul per join side;
+    * only (id, table, bucket) keys ever shuffle; vectors join back onto
+      the deduped candidate pairs for the exact cosine verify (same
+      payload discipline as lsh_topk).
+    Pass ``expected_rows`` (e.g. from parquet footer metadata) to avoid a
+    count() pass — it only sizes the plane count, so an estimate is fine.
     """
     n = expected_rows if expected_rows is not None else df.count()
     if n_planes is None:
         n_planes = default_near_dup_planes(n)
+    if n_tables is None:
+        n_tables = default_near_dup_tables(threshold, n_planes, target_recall)
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     keys = _add_multi_buckets(base, "_v", dim, n_planes, n_tables, seed=42).select(
         "_id", "tbl", "bucket"
     )
-    x = keys.alias("x")
-    y = keys.alias("y")
+    # ids are sorted ascending inside each bucket, so every emitted pair
+    # already satisfies id_a < id_b; slice() truncates at the array end.
     cand = (
-        x.join(y, ["tbl", "bucket"])
-        .filter(F.col("x._id") < F.col("y._id"))
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        keys.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs = base

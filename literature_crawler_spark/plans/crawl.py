@@ -31,8 +31,22 @@ from literature_crawler_spark.plans.state import SnapshotStore
 
 FRONTIER_COLS = ["canon_url", "url_hash", "bucket", "host", "priority", "seq", "wave", "status"]
 
+# two_phase='auto': engage the supernode pre-rank when a tracked host's
+# estimated pending backlog reaches this many times its per-wave budget —
+# the single-window-task sort is ~backlog log backlog, so 32x budget is
+# where it visibly outweighs the extra pending shuffle (politeness.py:44-53).
+AUTO_TWO_PHASE_RATIO = 32
+# bound on the driver-side hot-host dict (auto two_phase estimate)
+MAX_TRACKED_HOSTS = 10_000
 
-def assign_global_seq(df: DataFrame, order_cols: list[str], start: int) -> DataFrame:
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int,
+    return_count: bool = False,
+    released: list | None = None,
+) -> DataFrame | tuple[DataFrame, int]:
     """Dense global sequence numbers in (order_cols) order, two-phase:
 
     1. range-repartition + sort on the order key (ranges are disjoint, so
@@ -43,24 +57,37 @@ def assign_global_seq(df: DataFrame, order_cols: list[str], start: int) -> DataF
     This is the scalable replacement for a single-partition window — the
     per-partition windows run in parallel, and only ~n_partitions longs hit
     the driver. Requires order_cols to be a unique key.
+
+    ``return_count=True`` also returns the total row count — it falls out
+    of the offset map for free, so callers need no separate count() pass.
+    ``released``: when given, the repartitioned input is persisted (the
+    counts pass and the downstream consumers then share one
+    materialization of the upstream pipeline) and the handle appended for
+    the caller to unpersist.
     """
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if released is not None:
+        parts = parts.persist()
+        released.append(parts)
     counts = {r["_pid"]: r["cnt"] for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    total = acc - start
     if not offsets:
-        return df.withColumn("seq", F.lit(None).cast("long"))
+        out = df.withColumn("seq", F.lit(None).cast("long"))
+        return (out, 0) if return_count else out
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
-    return (
+    out = (
         parts.withColumn("seq", (omap[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"))
         .drop("_pid")
     )
+    return (out, total) if return_count else out
 
 
 class CrawlEngine:
@@ -78,6 +105,7 @@ class CrawlEngine:
         use_bloom: bool | str = "auto",
         fetcher=None,
         compact_every: int | None = 8,
+        two_phase: bool | str = "auto",
     ) -> None:
         self.spark = spark
         self.store = store
@@ -103,6 +131,7 @@ class CrawlEngine:
 
             root = os.path.join(store.root, "bloom")
             self._bloom_store = bloom_mod.BucketedBloomStore.open(root)
+            seen_latest = self.store.latest("seen")
             if self._bloom_store is None:
                 self._bloom_store = bloom_mod.BucketedBloomStore.create(
                     root, expected_items=2_000_000, n_buckets=n_buckets
@@ -110,12 +139,38 @@ class CrawlEngine:
                 seen = self.seen()
                 if seen is not None:  # resume from a pre-bucketed-state run
                     self._bloom_store.merge(seen.select("url_hash"))
+                    self._bloom_store.set_watermark(seen_latest["id"])
+            elif seen_latest is not None:
+                # staleness check: a pre-existing store BEHIND the committed
+                # seen set (e.g. interleaved runs with a different use_bloom
+                # mode) would give Bloom false negatives -> re-crawled URLs.
+                # Re-merge the full seen set (idempotent OR) when behind.
+                wm = self._bloom_store.watermark()
+                if wm is None or wm < seen_latest["id"]:
+                    self._bloom_store.merge(self.seen().select("url_hash"))
+                    self._bloom_store.set_watermark(seen_latest["id"])
         # Optional Arrow-UDF fetch path (operators.fetch.Fetcher): when set,
         # waves fetch via mapInPandas over salt-spread partitions (the live
         # deploy path) instead of hash-joining the pages corpus table. Both
         # paths produce the identical fetched set on the synthetic corpus
         # (tests/test_fetch.py).
         self.fetcher = fetcher
+        # two_phase scheduling (pol.schedule_wave): 'auto' turns the
+        # supernode pre-rank on only when a tracked host's estimated
+        # pending backlog exceeds AUTO_TWO_PHASE_RATIO x its budget —
+        # the regime where a single per-host window task becomes the
+        # Amdahl cap (politeness.py:44-53). The estimate comes from the
+        # per-wave new-URL counts of hosts that net-grow (> budget new
+        # rows in a wave), drained by ~budget per wave; the tracking dict
+        # is bounded (only net-growing hosts enter, shrunk when it
+        # exceeds MAX_TRACKED_HOSTS), so the driver holds O(hot hosts),
+        # never O(all hosts).
+        self.two_phase = two_phase
+        self._hot_backlog: dict[str, int] = {}
+        # dense-seq high-water mark, carried across waves so run_wave
+        # never re-scans the frontier for max(seq); None = recompute on
+        # the next wave (fresh engine / resume).
+        self._max_seq: int | None = None
         # the fetchable web: canonical url -> (host, links, caption, image_id)
         self.pages = pages.select(
             F.col("url").alias("page_url"),
@@ -147,39 +202,92 @@ class CrawlEngine:
         if self.robots is not None:
             cand = fr.apply_robots(cand, self.robots)
         cand = fr.first_seen_dedup(cand, ["seed_seq"])
-        cand = assign_global_seq(cand, ["seed_seq"], start=0)
+        released: list[DataFrame] = []
+        cand, n = assign_global_seq(
+            cand, ["seed_seq"], start=0, return_count=True, released=released
+        )
         frontier0 = cand.select(
             "canon_url", "url_hash", "bucket", "host",
             F.lit(0).alias("priority"), "seq",
             F.lit(0).alias("wave"), F.lit("pending").alias("status"),
         )
-        n = frontier0.count()
-        self.store.commit("frontier", frontier0, mode="replace", wave=0, meta={"pending": n})
+        self.store.commit(
+            "frontier", frontier0, mode="replace", wave=0,
+            meta={"pending": n, "total": n},
+        )
         if self._bloom_store is not None:  # superset invariant: bloom first
             self._bloom_store.merge(frontier0.select("url_hash"))
-        self.store.commit(
+        sid = self.store.commit(
             "seen",
             frontier0.select("url_hash", "canon_url", "bucket", "wave"),
-            mode="append", wave=0, meta={"added": n},
+            mode="append", wave=0, meta={"added": n, "total": n},
         )
+        if self._bloom_store is not None:
+            self._bloom_store.set_watermark(sid)
+        for h in released:
+            h.unpersist()
+        self._max_seq = n - 1
         return n
 
     # ------------------------------------------------------------- wave ----
+    def _use_two_phase(self) -> bool:
+        if self.two_phase == "auto":
+            cut = AUTO_TWO_PHASE_RATIO * self.default_budget
+            return any(v >= cut for v in self._hot_backlog.values())
+        return bool(self.two_phase)
+
+    def _update_hot_backlog(self, new_rows: DataFrame, n_new: int) -> list:
+        """Maintain the bounded hot-host backlog estimate (auto two_phase).
+
+        Hosts gaining more than one budget of NEW pending URLs in a wave
+        net-grow (they drain at most budget/wave), so only those enter the
+        dict; every tracked host is drained by budget each wave and
+        evicted at zero. One tiny job over the already-cached new_rows.
+        """
+        budget = self.default_budget
+        for h in list(self._hot_backlog):
+            self._hot_backlog[h] -= budget
+            if self._hot_backlog[h] <= 0:
+                del self._hot_backlog[h]
+        if not n_new:
+            return
+        hot = (
+            new_rows.groupBy("host").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > budget)
+            .collect()
+        )
+        for r in hot:
+            self._hot_backlog[r["host"]] = self._hot_backlog.get(r["host"], 0) + r["n"]
+        if len(self._hot_backlog) > MAX_TRACKED_HOSTS:  # keep the hottest
+            keep = sorted(self._hot_backlog.items(), key=lambda kv: -kv[1])
+            self._hot_backlog = dict(keep[:MAX_TRACKED_HOSTS])
+
     def run_wave(self, wave: int) -> dict:
+        from pyspark.sql import Observation
+
         frontier = self.frontier()
         pending = frontier.filter(F.col("status") == "pending")
 
-        # 1. politeness: per-host quota ranking (one shuffle on host)
-        scheduled = pol.schedule_wave(pending, self.politeness, self.default_budget)
+        # 1. politeness: per-host quota ranking (one shuffle on host);
+        #    two_phase='auto' engages the supernode pre-rank only when a
+        #    tracked host's backlog estimate crosses the ratio cut
+        scheduled = pol.schedule_wave(
+            pending, self.politeness, self.default_budget,
+            two_phase=self._use_two_phase(),
+        )
         scheduled = scheduled.persist()
-        n_scheduled = scheduled.count()
+        n_scheduled = scheduled.count()  # driver action 1 (early-exit gate)
         if n_scheduled == 0:
             scheduled.unpersist()
             return {"wave": wave, "scheduled": 0, "done": True}
 
         # 2. fetch: either the Arrow-UDF fetcher over salt-spread partitions
         #    (live deploy path) or a hash-join vs the pages corpus table
-        #    (cheaper when the "web" is itself a table, as in tests/bench)
+        #    (cheaper when the "web" is itself a table, as in tests/bench).
+        #    n_fetched rides an Observation — collected as a side effect of
+        #    the frontier commit instead of its own count() action
+        #    (VERDICT r02 item 6).
+        obs = Observation()
         if self.fetcher is not None:
             from literature_crawler_spark.operators import fetch as fetch_mod
 
@@ -190,13 +298,14 @@ class CrawlEngine:
                     F.when(F.col("fetch_status") == "fetched", F.col("canon_url")),
                 )
                 .withColumn("page_host", F.col("host"))
-                .persist()
             )
         else:
             fetched = scheduled.join(
                 self.pages, scheduled.canon_url == self.pages.page_url, "left"
-            ).persist()
-        n_fetched = fetched.filter(F.col("page_url").isNotNull()).count()
+            )
+        fetched = fetched.observe(
+            obs, F.count(F.col("page_url")).alias("n_fetched")
+        ).persist()
 
         # 3. extract + canonicalize candidate links (posexplode keeps the
         #    in-document order the first-seen dedup needs — A4 semantics)
@@ -212,7 +321,11 @@ class CrawlEngine:
             cand = fr.apply_robots(cand, self.robots)
         cand = fr.first_seen_dedup(cand, ["parent_seq", "pos"])
 
-        # 4. membership test: Bloom prefilter + exact anti-join vs seen
+        # 4. membership test: Bloom prefilter + exact anti-join vs seen.
+        #    released collects every cache this wave creates (Bloom-probe
+        #    materialization, seq-assignment repartition) so nothing
+        #    strands across waves.
+        released: list[DataFrame] = []
         seen = self.seen()
         seen_meta = self.store.latest("seen")
         new = fr.dedup_against_seen(
@@ -220,17 +333,26 @@ class CrawlEngine:
             use_bloom=True if self.use_bloom == "bucketed" else self.use_bloom,
             expected_seen=(seen_meta or {}).get("meta", {}).get("total"),
             bloom_store=self._bloom_store,
+            released=released,
         )
 
-        # 5. dense numbering in (parent_seq, pos) order
-        max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
-        new = assign_global_seq(new, ["parent_seq", "pos"], start=max_seq + 1)
+        # 5. dense numbering in (parent_seq, pos) order. The high-water
+        #    seq is carried across waves (one frontier agg only on the
+        #    first wave after engine start / resume), and n_new falls out
+        #    of the numbering's offset map — no count() pass.
+        if self._max_seq is None:
+            self._max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
+        max_seq = self._max_seq
+        new, n_new = assign_global_seq(
+            new, ["parent_seq", "pos"], start=max_seq + 1,
+            return_count=True, released=released,
+        )
+        self._max_seq = max_seq + n_new
         new_rows = new.select(
             "canon_url", "url_hash", "bucket", "host",
             F.lit(wave).alias("priority"), "seq",
             F.lit(wave).alias("wave"), F.lit("pending").alias("status"),
         ).persist()
-        n_new = new_rows.count()
 
         # 6. commit snapshots: frontier (MERGE delta: only the status flips
         #    of scheduled rows + newly discovered rows — O(scheduled + new)
@@ -244,7 +366,14 @@ class CrawlEngine:
         frontier_delta = outcome.select(*FRONTIER_COLS).unionByName(
             new_rows.select(*FRONTIER_COLS)
         )
-        n_pending_next = n_new + (pending.count() - n_scheduled)
+        # pending-before comes from the previous frontier commit's meta
+        # (bootstrap and every merge write it) — no frontier re-scan; the
+        # count() fallback only fires on stores written before this field.
+        prev_meta = (self.store.latest("frontier") or {}).get("meta", {})
+        pending_before = prev_meta.get("pending")
+        if pending_before is None:
+            pending_before = pending.count()
+        n_pending_next = n_new + (pending_before - n_scheduled)
         self.store.commit(
             "frontier", frontier_delta, mode="merge", wave=wave,
             meta={"pending": n_pending_next, "delta_rows": n_scheduled + n_new},
@@ -252,13 +381,18 @@ class CrawlEngine:
         )
         if self.compact_every and wave % self.compact_every == 0:
             self.store.compact("frontier")
+        # the frontier merge commit above scanned `fetched`, so the
+        # observation is already resolved — this get() does not block
+        n_fetched = int(obs.get["n_fetched"])
         seen_total = ((seen_meta or {}).get("meta", {}).get("total") or 0) + n_new
         if self._bloom_store is not None and n_new:  # bloom BEFORE seen commit
             self._bloom_store.merge(new_rows.select("url_hash"))
-        self.store.commit(
+        sid = self.store.commit(
             "seen", new_rows.select("url_hash", "canon_url", "bucket", "wave"),
             mode="append", wave=wave, meta={"added": n_new, "total": seen_total},
         )
+        if self._bloom_store is not None:
+            self._bloom_store.set_watermark(sid)
         self.store.commit(
             "order",
             scheduled.select(F.lit(wave).alias("wave"), "seq", "host", "canon_url"),
@@ -303,9 +437,13 @@ class CrawlEngine:
             "lineage", fetch_lineage.unionByName(dedup_lineage),
             mode="append", wave=wave,
         )
+        if self.two_phase == "auto":
+            self._update_hot_backlog(new_rows, n_new)
         scheduled.unpersist()
         fetched.unpersist()
         new_rows.unpersist()
+        for h in released:
+            h.unpersist()
         return metrics
 
     # -------------------------------------------------------------- run ----

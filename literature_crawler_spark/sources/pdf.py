@@ -234,3 +234,52 @@ def generate_pdfs(spark: SparkSession, n_docs: int = 50, base_side: int = 12) ->
     return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(
         gen, "doc_id string, bytes binary"
     )
+
+def generate_pdf_meta(spark: SparkSession, n_docs: int = 50) -> DataFrame:
+    """Deterministic per-doc text-layout metadata for the candidate-title
+    ladder (operators.titles): font-size spans, a document-info dict and
+    a filename, keyed like ``generate_pdfs``. Doc i cycles the ladder's
+    four outcomes: i%4==0 an <h1> span title (+ long filename -> two
+    candidates), 1 info-dict title only, 2 long filename only, 3 nothing
+    qualifying. The expected candidates are pure string formulas of i, so
+    the SQL oracle re-derives them without re-running the algorithm."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                m = i % 4
+                body = [
+                    {"block": 1, "line": j, "size": 10.0, "text": f"body {i} line {j}"}
+                    for j in range(3)
+                ]
+                if m == 0:
+                    spans = [
+                        {"block": 0, "line": 0, "size": 20.0,
+                         "text": f"Synthetic Study {i} Of Deterministic Corpora"}
+                    ] + body
+                    info = {"producer": "synthetic"}
+                    fname = f"a-very-long-deterministic-filename-{i:06d}.pdf"
+                elif m == 1:
+                    spans = body
+                    info = {"Title": f"Archived Report {i} With Many Words"}
+                    fname = f"r{i}.pdf"
+                elif m == 2:
+                    spans = body
+                    info = {"title": "short"}
+                    fname = f"a-very-long-deterministic-filename-{i:06d}.pdf"
+                else:
+                    spans = body
+                    info = {}
+                    fname = f"x{i}.pdf"
+                rows.append((f"pdf-{i:06d}", spans, info, fname))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans", "info", "filename"])
+
+    n_parts = max(2, min(16, n_docs // 25 or 2))
+    return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(
+        gen,
+        "doc_id string, "
+        "spans array<struct<block:int,line:int,size:double,text:string>>, "
+        "info map<string,string>, filename string",
+    )

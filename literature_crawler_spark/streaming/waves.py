@@ -96,10 +96,13 @@ def politeness_rate_limiter(
     (operators/politeness.py). This is the streaming third form: each host
     holds a token bucket refilled by ``budget_per_batch`` per micro-batch
     it appears in; a host that under-uses its tokens banks the remainder
-    up to ``carryover_cap`` (default 2x budget) and may burst that much
-    later — while a flooding host can NEVER exceed its per-batch budget,
-    because admission state persists in the state store across batches
-    (exactly the thing a stateless per-batch window rank cannot enforce).
+    and may burst later, so a single batch can admit UP TO
+    ``carryover_cap`` rows (default 2x budget) — standard token-bucket
+    semantics: long-run admission rate is bounded by budget_per_batch per
+    batch, with bounded bursts from banked idle capacity. A flooding host
+    with no banked tokens stays at its per-batch budget, because admission
+    state persists in the state store across batches (exactly the thing a
+    stateless per-batch window rank cannot enforce).
     A host first seen in batch k starts with one budget (conservative).
     Emits the admitted rows as (host, url, admitted_in_batch_rank).
     """

@@ -1,0 +1,130 @@
+"""Publish tail vs a transcription of the reference logic
+(nature_protocol_publish.py get_literature_type / migrate_data,
+migrate_util.py protocol-number floor)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from literature_crawler_spark.operators import publish as pb
+
+
+# transcription of nature_protocol_publish.py:43-65
+def _ref_literature_type(param):
+    if param == 'Addendum' or param == 'Corrigendum' or param == 'Erratum':
+        return 'erratum', True
+    elif param == 'Author Correction' or param == 'Publisher Correction' or param == 'Retracion':
+        return 'correction', True
+    elif param == 'Consensus Statement' or param == 'Consensus':
+        return 'consensus', False
+    elif param == 'Correspondence':
+        return 'correspondence', False
+    elif param == 'Editorial':
+        return 'editorial', False
+    elif param == 'Matters Arising':
+        return 'matters', False
+    elif param == 'News & Views':
+        return 'views', False
+    elif param == 'Perspective':
+        return 'perspective', False
+    elif param == 'Poster':
+        return 'poster', True
+    elif param == 'Protocol' or param == 'Protocol Extension' or param == 'Protocol Update':
+        return 'protocol', True
+    elif param == 'Review Article':
+        return 'review', True
+    return None, None
+
+
+ALL_PARAMS = [p for params, _t, _f in pb.LITERATURE_TYPE_MAP for p in params] + [
+    "Research Article", "", "protocol",  # unmapped incl. case-sensitivity
+]
+
+
+def test_literature_type_matches_reference(spark):
+    df = spark.createDataFrame([(p,) for p in ALL_PARAMS], "param string")
+    lt = pb.literature_type(F.col("param"))
+    got = {
+        r.param: (r.t, r.f)
+        for r in df.select(
+            "param", lt["lit_type"].alias("t"), lt["has_protocol"].alias("f")
+        ).collect()
+    }
+    for p in ALL_PARAMS:
+        assert got[p] == _ref_literature_type(p), p
+
+
+def test_parse_publish_date(spark):
+    df = spark.createDataFrame(
+        [("12 March 2024",), ("1 January 1999",), ("2024-03-12",), (None,)],
+        "s string",
+    )
+    got = [str(r.d) if r.d else None
+           for r in df.select(pb.parse_publish_date(F.col("s")).alias("d")).collect()]
+    # strptime('%d %B %Y') parity incl. the swallowed-ValueError None
+    assert got == ["2024-03-12", "1999-01-01", None, None]
+
+
+def test_protocol_number_floor(spark):
+    flagged = spark.createDataFrame([(i,) for i in range(5)], "literature_id int")
+    # empty/low table jumps to the 20000 floor (reference: max<=19999 -> 20000)
+    low = pb.assign_protocol_numbers(flagged, ["literature_id"], existing_max=120)
+    nums = sorted(r.protocol_number for r in low.collect())
+    assert nums == [20000, 20001, 20002, 20003, 20004]
+    # grown table continues MAX(id)+1
+    high = pb.assign_protocol_numbers(flagged, ["literature_id"], existing_max=25007)
+    assert sorted(r.protocol_number for r in high.collect()) == list(range(25008, 25013))
+    none = pb.assign_protocol_numbers(flagged, ["literature_id"])
+    assert sorted(r.protocol_number for r in none.collect())[0] == 20000
+
+
+def _clean(spark):
+    rows = []
+    params = ["Protocol", "Editorial", "Review Article", "Nope", "Poster"]
+    for i in range(5):
+        rows.append(
+            (
+                i, f"Title {i}", f"10.1038/s{i}", f"abs {i}", params[i],
+                "12 March 2024" if i % 2 == 0 else "garbage",
+                [f"kw{i}", f"kw{(i + 1) % 5}", ""],
+                [
+                    {"name": f"Author {i}", "type": "first", "institution": "U"},
+                    {"name": "", "type": "x", "institution": "V"},
+                    {"name": f"Author {(i + 1) % 5}", "type": None, "institution": None},
+                ],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "literature_id int, title string, doi string, abstract_text string, "
+        "param string, publish_date_str string, keywords array<string>, "
+        "authors array<struct<name:string,type:string,institution:string>>",
+    )
+
+
+def test_publish_fanout(spark):
+    out = pb.publish_literature(_clean(spark), existing_protocol_max=120)
+    lit = {r.literature_id: r for r in out["literature"].collect()}
+    assert lit[0].literature_type == "protocol" and str(lit[0].publish_date) == "2024-03-12"
+    assert lit[1].literature_type == "editorial" and lit[1].publish_date is None
+    assert lit[3].literature_type is None  # unmapped param
+    # protocol rows only for has_protocol params, numbered from the floor
+    prot = {r.literature_id: r for r in out["protocol"].collect()}
+    assert set(prot) == {0, 2, 4}
+    assert sorted(r.protocol_number for r in prot.values()) == [20000, 20001, 20002]
+    # empty-name author skipped (reference's 'name' check)
+    assert list(prot[0].author_names) == ["Author 0", "Author 1"]
+    # dims dedup, links fan out; empty keyword dropped
+    kw = {r.name for r in out["keywords_dim"].collect()}
+    assert kw == {f"kw{i}" for i in range(5)}
+    links = out["literature_keywords"].groupBy("literature_id").count().collect()
+    assert all(r["count"] == 2 for r in links)
+    au_links = out["literature_authors"].groupBy("literature_id").count().collect()
+    assert all(r["count"] == 2 for r in au_links)
+
+
+def test_publish_skip_strategy(spark):
+    existing = _clean(spark).select("literature_id").filter(F.col("literature_id") < 2)
+    out = pb.publish_literature(
+        _clean(spark), existing=existing, conflict_strategy="skip"
+    )
+    assert sorted(r.literature_id for r in out["literature"].collect()) == [2, 3, 4]

@@ -109,3 +109,32 @@ def test_per_partition_lineage(spark, corpus, tmp_path):
         w = m["wave"]
         assert by_wave_kind.get((w, "fetch_salt"), 0) == m["scheduled"]
         assert by_wave_kind.get((w, "dedup_bucket"), 0) == m["new_urls"]
+
+
+def test_bucketed_bloom_staleness_remerge(spark, corpus, tmp_path):
+    """A pre-existing bucketed Bloom store BEHIND the committed seen set
+    (interleaved runs with a different use_bloom mode) must be detected on
+    engine open and re-merged — a stale store gives Bloom false negatives,
+    re-crawling seen URLs and appending duplicates to seen."""
+
+    def mk(path, mode):
+        return CrawlEngine(
+            spark, SnapshotStore(path), corpus["pages"],
+            corpus["robots"], corpus["politeness"], use_bloom=mode,
+        )
+
+    straight = mk(str(tmp_path / "s"), "bucketed")
+    straight.run(corpus["seeds"], max_waves=3)
+
+    p = str(tmp_path / "x")
+    first = mk(p, "bucketed")  # store created, watermark at wave-1 seen
+    first.run(corpus["seeds"], max_waves=1)
+    mid = mk(p, False)  # plain anti-join: seen advances, store does NOT
+    mid.run(max_waves=1)
+    resumed = mk(p, "bucketed")  # open must detect store-behind-seen
+    assert (
+        resumed._bloom_store.watermark()
+        == resumed.store.latest("seen")["id"]
+    )
+    resumed.run(max_waves=1)
+    assert _state(straight) == _state(resumed)

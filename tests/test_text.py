@@ -151,3 +151,31 @@ def test_clean_abstract_issue_attachments(spark):
         {"name": "nice.pdf", "uri": "https://e/1.pdf"},
         {"name": "fb.pdf", "uri": "https://e/2.pdf"},
     ]
+
+
+def test_content_thirds_matches_reference_slices(spark):
+    """Exact parity with the reference content_split (text_deal.py:24-32)
+    on every remainder class, including the rem==1 quirk where part2 is
+    one char SHORT of a third ('abcd' -> ('ab', '', 'cd'))."""
+
+    def ref_split(text):  # transcription of the reference formula
+        third = len(text) // 3
+        rem = len(text) % 3
+        p1 = text[: third + (1 if rem > 0 else 0)]
+        p2 = text[third + (1 if rem > 0 else 0): 2 * third + (1 if rem > 1 else 0)]
+        p3 = text[2 * third + (1 if rem > 1 else 0):]
+        return p1, p2, p3
+
+    samples = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+               "x" * 10, "abcdefghijk"]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    t = tx.content_thirds(F.col("text"))
+    got = {
+        r.text: (r.p1, r.p2, r.p3)
+        for r in df.select(
+            "text", t["p1"].alias("p1"), t["p2"].alias("p2"), t["p3"].alias("p3")
+        ).collect()
+    }
+    for s in samples:
+        assert got[s] == ref_split(s), (s, got[s], ref_split(s))
+    assert got["abcd"] == ("ab", "", "cd")
