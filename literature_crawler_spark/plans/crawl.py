@@ -119,26 +119,33 @@ class CrawlEngine:
         # use_bloom='bucketed' maintains a BucketedBloomStore next to the
         # state tables (one bitmap file per url_hash bucket, executor-built)
         # and probes it instead of building a bitmap per wave — the 10^10
-        # path. Invariant: deltas merge into the store BEFORE the seen
-        # commit, so the store is always a superset of committed seen
-        # (false positives only).
+        # path. use_bloom='cuckoo' maintains a BucketedCuckooStore instead
+        # (same probe/merge duck-type, lower FPR, and DELETABLE — the
+        # recrawl/retract path a Bloom bitmap cannot serve). Invariant for
+        # both: deltas merge into the store BEFORE the seen commit, so the
+        # store is always a superset of committed seen (false positives
+        # only).
         self.use_bloom = use_bloom
         self._bloom_store = None
-        if use_bloom == "bucketed":
+        if use_bloom in ("bucketed", "cuckoo"):
             import os
 
             from literature_crawler_spark.operators import bloom as bloom_mod
+            from literature_crawler_spark.operators import cuckoo as cuckoo_mod
 
+            kind = bloom_mod.BucketedBloomStore if use_bloom == "bucketed" else (
+                cuckoo_mod.BucketedCuckooStore
+            )
             root = os.path.join(store.root, "bloom")
-            self._bloom_store = bloom_mod.BucketedBloomStore.open(root)
+            self._bloom_store = kind.open(root)
             seen_latest = self.store.latest("seen")
             if self._bloom_store is None:
-                self._bloom_store = bloom_mod.BucketedBloomStore.create(
+                self._bloom_store = kind.create(
                     root, expected_items=2_000_000, n_buckets=n_buckets
                 )
                 seen = self.seen()
                 if seen is not None:  # resume from a pre-bucketed-state run
-                    self._bloom_store.merge(seen.select("url_hash"))
+                    self._store_merge(seen.select("url_hash"))
                     self._bloom_store.set_watermark(seen_latest["id"])
             elif seen_latest is not None:
                 # staleness check: a pre-existing store BEHIND the committed
@@ -147,7 +154,7 @@ class CrawlEngine:
                 # Re-merge the full seen set (idempotent OR) when behind.
                 wm = self._bloom_store.watermark()
                 if wm is None or wm < seen_latest["id"]:
-                    self._bloom_store.merge(self.seen().select("url_hash"))
+                    self._store_merge(self.seen().select("url_hash"))
                     self._bloom_store.set_watermark(seen_latest["id"])
         # Optional Arrow-UDF fetch path (operators.fetch.Fetcher): when set,
         # waves fetch via mapInPandas over salt-spread partitions (the live
@@ -181,6 +188,43 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------ state ----
+    def _store_merge(self, delta: DataFrame) -> None:
+        """Merge a url_hash delta into the membership store.
+
+        A cuckoo store that overflows is rebuilt at doubled capacity from
+        the AUTHORITATIVE key set (committed seen + this delta) — the
+        resize contract in operators/cuckoo.py: fingerprints cannot
+        recover keys, so growth must re-insert from source. Bloom stores
+        never raise (bitmaps OR at any density; fpp degrades instead).
+        """
+        from literature_crawler_spark.operators import cuckoo as cuckoo_mod
+
+        try:
+            self._bloom_store.merge(delta)
+            return
+        except cuckoo_mod.CuckooOverflow:
+            pass
+        full = delta.select("url_hash")
+        seen = self.seen()
+        if seen is not None:
+            full = seen.select("url_hash").unionByName(full).dropDuplicates(["url_hash"])
+        full = full.persist()
+        try:
+            st = self._bloom_store
+            cap = st.bucket_rows * cuckoo_mod.SLOTS * st.n_buckets
+            while True:
+                cap *= 2
+                self._bloom_store = cuckoo_mod.BucketedCuckooStore.create(
+                    st.root, expected_items=cap, n_buckets=st.n_buckets
+                )
+                try:
+                    self._bloom_store.merge(full)
+                    return
+                except cuckoo_mod.CuckooOverflow:
+                    continue
+        finally:
+            full.unpersist()
+
     def seen(self) -> DataFrame | None:
         return self.store.read(self.spark, "seen")
 
@@ -216,7 +260,7 @@ class CrawlEngine:
             meta={"pending": n, "total": n},
         )
         if self._bloom_store is not None:  # superset invariant: bloom first
-            self._bloom_store.merge(frontier0.select("url_hash"))
+            self._store_merge(frontier0.select("url_hash"))
         sid = self.store.commit(
             "seen",
             frontier0.select("url_hash", "canon_url", "bucket", "wave"),
@@ -330,7 +374,7 @@ class CrawlEngine:
         seen_meta = self.store.latest("seen")
         new = fr.dedup_against_seen(
             self.spark, cand, seen,
-            use_bloom=True if self.use_bloom == "bucketed" else self.use_bloom,
+            use_bloom=True if self.use_bloom in ("bucketed", "cuckoo") else self.use_bloom,
             expected_seen=(seen_meta or {}).get("meta", {}).get("total"),
             bloom_store=self._bloom_store,
             released=released,
@@ -386,7 +430,7 @@ class CrawlEngine:
         n_fetched = int(obs.get["n_fetched"])
         seen_total = ((seen_meta or {}).get("meta", {}).get("total") or 0) + n_new
         if self._bloom_store is not None and n_new:  # bloom BEFORE seen commit
-            self._bloom_store.merge(new_rows.select("url_hash"))
+            self._store_merge(new_rows.select("url_hash"))
         sid = self.store.commit(
             "seen", new_rows.select("url_hash", "canon_url", "bucket", "wave"),
             mode="append", wave=wave, meta={"added": n_new, "total": seen_total},

@@ -48,30 +48,47 @@ cpus = int(sys.argv[1]); kernel = sys.argv[2]
 spark = get_spark("probe", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 
 def mk(kernel):
+    # sizes chosen so the 8-core leg runs ~5-15s — far above this box's
+    # ~0.3-0.5s/stage dispatch overhead, which otherwise IS the measurement
     if kernel == "arith":
-        n = 1_200_000_000
-        df = spark.range(n).select(F.sum(F.xxhash64("id")))
+        n = 20_000_000_000
+        # %% 1024 keeps the ANSI-mode sum within long range; the xxhash64
+        # itself is still the dominant per-row cost
+        df = spark.range(n).select(F.sum(F.xxhash64("id") %% 1024))
     elif kernel == "stralloc":
-        n = 150_000_000
+        n = 1_500_000_000
         url = F.concat(F.lit("https://h"), (F.col("id") %% 1000).cast("string"),
                        F.lit(".example.org/page/"), F.col("id").cast("string"),
                        F.when(F.col("id") %% 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")))
-        df = spark.range(n).select(F.sum(F.length(url)))
+        # hashing the built string forces its bytes to materialize (a bare
+        # length() could be escape-analyzed past the copy); %% 2 keeps the
+        # ANSI sum in range
+        df = spark.range(n).select(F.sum(F.length(url) + F.xxhash64(url) %% 2))
     elif kernel == "arrow":
-        n = 40_000_000
+        n = 120_000_000
         url = F.concat(F.lit("https://h"), (F.col("id") %% 1000).cast("string"),
                        F.lit(".example.org/page/"), F.col("id").cast("string"))
         base = spark.range(n).select("id", url.alias("url"))
         df = base.mapInPandas(lambda it: it, "id long, url string").select(F.sum(F.length("url")))
     elif kernel == "shuffle":
-        n = 400_000_000
+        n = 1_500_000_000
         df = spark.range(n).groupBy((F.col("id") %% 1_000_000).alias("k")).count() \
                  .select(F.sum("count"))
     return n, df
 
-n, df = mk(kernel)
-df.collect()  # full-size JIT warmup
-best = min((lambda t0: (df.collect(), time.time() - t0)[1])(time.time()) for _ in range(3))
+def run():
+    # noop WRITE, not collect: a repeated collect() on one DataFrame reuses
+    # its AQE-materialized shuffle stages (measured: a 40B-row aggregate
+    # "re-ran" in 0.07s), silently timing only the final stage. write()
+    # re-plans per call, so every rep executes the full pipeline.
+    n, df = mk(kernel)
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+n, _ = mk(kernel)
+run()  # full-size JIT warmup
+best = min(run() for _ in range(2))
 print("RESULT", kernel, cpus, n, round(best, 3), round(n / best))
 spark.stop()
 ''' % REPO
@@ -119,6 +136,16 @@ spark.stop()
 ''' % REPO
 
 
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks — the sandbox host has steal
+    storms; a leg bracketed by a big delta is re-run, not trusted."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def run_probe(cpus: int, kernel: str) -> dict:
     gc = max(2, min(cpus, 8))
     env = dict(
@@ -127,13 +154,20 @@ def run_probe(cpus: int, kernel: str) -> dict:
             f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
         ),
     )
-    out = subprocess.run(
-        [sys.executable, "-c", _PROBE, str(cpus), kernel],
-        env=env, capture_output=True, text=True, check=True, cwd=REPO,
-    )
+    for attempt in range(3):
+        s0 = _steal_ticks()
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE, str(cpus), kernel],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        steal_sec = (_steal_ticks() - s0) / 100.0
+        if steal_sec < 30.0 or attempt == 2:  # < ~1 core-minute of interference
+            break
+        print(f"  retry {kernel}@{cpus}: {steal_sec:.0f}s steal during leg", flush=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][0].split()
     return {"kernel": line[1], "cpus": int(line[2]), "n": int(line[3]),
-            "sec": float(line[4]), "rate": int(line[5])}
+            "sec": float(line[4]), "rate": int(line[5]),
+            "steal_cpu_sec": round(steal_sec, 1)}
 
 
 def main() -> None:

@@ -198,6 +198,56 @@ def main() -> None:
     ] + [json.dumps(sweep[c]) for c in (2, 8, 32)] + [
         "```",
     ]
+    probe_cache = "/tmp/lcs_saturation_probe.json"
+    if os.path.exists(probe_cache):
+        with open(probe_cache) as f:
+            probe = json.load(f)
+        kern = probe.get("kernels", {})
+        vol = probe.get("frontier_shuffle_volume", {})
+        desc = {
+            "arith": "codegen register arithmetic (no memory traffic)",
+            "stralloc": "JVM string alloc/copy (canonicalize's profile, no Python)",
+            "arrow": "Arrow serialize/deserialize boundary (mapInPandas identity)",
+            "shuffle": "hash-shuffle exchange in isolation",
+        }
+        lines += [
+            "",
+            "## 8 -> 32 ceiling probe (synthetic kernels, no engine code)",
+            "",
+            "Four kernels each isolate one resource; a PLAN defect would show",
+            "an engine-specific shape collapsing while its synthetic twin",
+            "scales, saturation shows every memory-touching kernel decaying",
+            "together while pure arithmetic holds:",
+            "",
+            "| kernel | isolates | rate@8 | rate@32 | 8->32 efficiency |",
+            "|---|---|---|---|---|",
+        ] + [
+            f"| {k} | {desc.get(k, '')} | {v['rate_8']:,}/s | {v['rate_32']:,}/s | "
+            f"**{v['efficiency_8_to_32']}** |"
+            for k, v in kern.items()
+        ]
+        if kern:
+            mem_effs = [v["efficiency_8_to_32"] for k, v in kern.items() if k != "arith"]
+            arith_eff = kern.get("arith", {}).get("efficiency_8_to_32")
+            lines += [
+                "",
+                f"Pure arithmetic sustains {arith_eff} while every",
+                f"memory-touching kernel lands at {min(mem_effs)}-{max(mem_effs)}"
+                " — the ceiling is the",
+                "box's shared memory system, not a serialization in the engine's",
+                "plan (none of these kernels run any engine code).",
+            ]
+        if vol:
+            lines += [
+                "",
+                "Frontier kernel shuffle volume (UI REST, stages summed over one",
+                f"8M-URL wave, seen={vol.get('seen_size', 0):,}):",
+                f"**{vol.get('shuffle_write_bytes_per_url', '?')} bytes/URL written,",
+                f"{vol.get('shuffle_read_bytes_per_url', '?')} bytes/URL read** — the",
+                "number that sizes cluster network for a 10^10-URL deploy",
+                "(~the politeness rank exchange; the Bloom-definite-new rows",
+                "skip the anti-join shuffle entirely).",
+            ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[:30]))
