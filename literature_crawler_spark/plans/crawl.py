@@ -228,6 +228,83 @@ class CrawlEngine:
     def seen(self) -> DataFrame | None:
         return self.store.read(self.spark, "seen")
 
+    def retract(self, urls: DataFrame, url_col: str = "url", requeue: bool = False) -> dict:
+        """Remove URLs from the committed seen set so they become
+        crawlable again — the recrawl-after-expiry path (reference
+        analogue: a protocol whose ``version_id`` changed re-enters the
+        crawl, ``protocol_io_crawl.py`` update branch).
+
+        Seen is rewritten without the retracted keys (copy-on-write
+        delete; an Iceberg deploy writes position deletes instead — same
+        semantics, same reader contract). Store maintenance follows the
+        commit: a cuckoo store DELETEs the keys in place (its reason to
+        exist); a Bloom store is rebuilt from the new seen (bitmaps
+        cannot delete). Ordering keeps the superset invariant: the store
+        is never behind seen — between commit and store maintenance it
+        holds extra keys, which only cost wasted exact-join probes.
+
+        ``requeue=True`` additionally flips the retracted rows' frontier
+        status back to ``pending`` (keeping their seq), so the next wave
+        re-schedules them without waiting for link re-discovery.
+        """
+        seen = self.seen()
+        if seen is None:
+            return {"retracted": 0, "requeued": 0}
+        cand = fr.canonicalize_candidates(urls.select(F.col(url_col).alias("url")))
+        keys = (
+            cand.select("url_hash")
+            .dropDuplicates(["url_hash"])
+            .join(seen.select("url_hash"), "url_hash", "left_semi")
+            .persist()
+        )
+        n = keys.count()
+        if n == 0:
+            keys.unpersist()
+            return {"retracted": 0, "requeued": 0}
+        remaining = seen.join(keys, "url_hash", "left_anti")
+        prev_total = (self.store.latest("seen") or {}).get("meta", {}).get("total")
+        if prev_total is None:
+            prev_total = seen.count()
+        sid = self.store.commit(
+            "seen", remaining, mode="replace", wave=self.last_wave(),
+            meta={"total": prev_total - n, "retracted": n},
+        )
+        if self._bloom_store is not None:
+            if hasattr(self._bloom_store, "delete"):  # cuckoo: in-place
+                self._bloom_store.delete(keys)
+            else:  # bloom: rebuild from the new seen
+                from literature_crawler_spark.operators import bloom as bloom_mod
+
+                st = self._bloom_store
+                self._bloom_store = bloom_mod.BucketedBloomStore.create(
+                    st.root,
+                    expected_items=max(prev_total - n, 2_000_000),
+                    n_buckets=st.n_buckets,
+                )
+                self._store_merge(self.seen().select("url_hash"))
+            self._bloom_store.set_watermark(sid)
+        n_requeued = 0
+        if requeue:
+            frontier = self.frontier()
+            flip = (
+                frontier.join(keys, "url_hash", "left_semi")
+                .drop("status")
+                .withColumn("status", F.lit("pending"))
+                .select(*FRONTIER_COLS)
+                .persist()
+            )
+            n_requeued = flip.count()
+            prev_meta = (self.store.latest("frontier") or {}).get("meta", {})
+            pending = prev_meta.get("pending", 0) + n_requeued
+            self.store.commit(
+                "frontier", flip, mode="merge", wave=self.last_wave(),
+                meta={"pending": pending, "delta_rows": n_requeued},
+                merge_key=["url_hash"],
+            )
+            flip.unpersist()
+        keys.unpersist()
+        return {"retracted": n, "requeued": n_requeued}
+
     def frontier(self) -> DataFrame | None:
         return self.store.read(self.spark, "frontier")
 
@@ -280,7 +357,7 @@ class CrawlEngine:
             return any(v >= cut for v in self._hot_backlog.values())
         return bool(self.two_phase)
 
-    def _update_hot_backlog(self, new_rows: DataFrame, n_new: int) -> list:
+    def _update_hot_backlog(self, new_rows: DataFrame, n_new: int) -> None:
         """Maintain the bounded hot-host backlog estimate (auto two_phase).
 
         Hosts gaining more than one budget of NEW pending URLs in a wave

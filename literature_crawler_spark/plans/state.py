@@ -136,7 +136,19 @@ class SnapshotStore:
             return spark.read.parquet(self._sdir(table, head["id"]))
         if head["mode"] == "merge":
             return self._read_merged(spark, table, upto)
-        dirs = [self._sdir(table, m["id"]) for m in upto if m["mode"] == "append"]
+        # append head: union the last replace base (if any — compaction or
+        # a copy-on-write delete like CrawlEngine.retract) with the appends
+        # AFTER it; appends before the base were folded into (or removed
+        # from) it and must not resurrect
+        base_idx = max(
+            (i for i, m in enumerate(upto) if m["mode"] == "replace"), default=None
+        )
+        tail = upto if base_idx is None else upto[base_idx:]
+        dirs = [
+            self._sdir(table, m["id"])
+            for m in tail
+            if m["mode"] in ("append", "replace")
+        ]
         return spark.read.parquet(*dirs)
 
     def _read_merged(self, spark: SparkSession, table: str, upto: list[dict]) -> DataFrame:

@@ -1,0 +1,147 @@
+"""Steal-gated north-rule kernel scaling measurement.
+
+The full sweep (scaling_bench.py) runs ~15-minute bench legs; on this
+sandbox host, hypervisor steal storms land inside individual legs and
+poison min-of-reps (one contaminated sweep recorded the 8-core at-scale
+kernel at 1/4 of its clean rate). This script measures ONLY the frontier
+kernel — small-seen and at-scale (seen = 2x candidates, past the
+broadcast ceiling, maintained bucketed-Bloom store) — at local[2] /
+local[8] / local[32], bracketing every timed rep with the /proc/stat
+steal counter and RERUNNING any rep whose window saw > STEAL_CAP of one
+core stolen. Legs are sequential subprocess JVMs, GC sized per leg.
+
+Writes /tmp/lcs_north_pair.json (rendered into BENCH.md by
+scaling_bench.py --reuse-sweep). Usage: python scripts/north_pair.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = "/tmp/lcs_north_pair.json"
+
+_LEG = r'''
+import sys, time
+sys.path.insert(0, "%s")
+from pyspark.sql import functions as F
+from literature_crawler_spark.operators import bloom as bloom_mod
+from literature_crawler_spark.operators import frontier as fr
+from literature_crawler_spark.operators import politeness as pol
+from literature_crawler_spark.session import get_spark
+
+cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); regime = sys.argv[3]
+# a rep is clean when system-wide steal during its window stays under this
+# fraction of the leg's own core-seconds (steal is a whole-VM counter, so
+# an absolute cap over-rejects low-parallelism legs)
+STEAL_FRAC_CAP = float(sys.argv[4])
+spark = get_spark("north", master=f"local[{cpus}]", shuffle_partitions=max(2 * cpus, 4))
+n_hosts = 1000
+
+def steal():
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+def urls(ids):
+    host = F.when(F.col("id") %% 10 == 0, F.lit(0)).otherwise(F.col("id") %% n_hosts)
+    return ids.select(F.col("id"), F.concat(
+        F.lit("https://h"), host.cast("string"), F.lit(".example.org/page/"),
+        F.col("id").cast("string"),
+        F.when(F.col("id") %% 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit(""))).alias("url"))
+
+if regime == "atscale":  # seen = 2x candidates: past any broadcast ceiling
+    seen_ids = spark.range(0, n_urls * 2)
+else:  # small: seen = 1/3 of the keyspace (the bench_frontier regime)
+    seen_ids = spark.range(0, n_urls, 3)
+seen = fr.canonicalize_candidates(urls(seen_ids), output_cols=[]).select("url_hash").persist()
+seen_n = seen.count()
+
+import shutil, tempfile
+store_dir = tempfile.mkdtemp(prefix="northbloom_")
+bstore = bloom_mod.BucketedBloomStore.create(store_dir, expected_items=seen_n, n_buckets=64)
+bstore.merge(seen)  # untimed: the store is maintained incrementally across waves
+
+def run_once():
+    t0 = time.time()
+    cand = fr.canonicalize_candidates(urls(spark.range(n_urls)), output_cols=["id"])
+    new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True,
+                                expected_seen=seen_n, bloom_store=bstore)
+    pending = new.select("canon_url", "url_hash", "host",
+                         F.lit(0).alias("priority"), F.col("id").alias("seq"))
+    sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
+    sched.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+run_once()  # full-size JIT warmup
+best, best_frac, clean_reps, attempts = None, None, 0, 0
+while clean_reps < 3 and attempts < 40:
+    attempts += 1
+    s0 = steal()
+    dt = run_once()
+    frac = (steal() - s0) / 100.0 / (dt * cpus)
+    if best is None or dt < best:
+        best, best_frac = dt, frac  # keep the best rep either way
+    if frac > STEAL_FRAC_CAP:
+        print(f"  dirty rep ({frac:.0%%} of leg core-sec stolen), retrying", flush=True)
+        time.sleep(12)  # storms last minutes: spread attempts over time
+        continue
+    clean_reps += 1
+if clean_reps == 0:
+    print("  WARNING: no clean rep achieved; value is steal-contaminated", flush=True)
+shutil.rmtree(store_dir, ignore_errors=True)
+print("RESULT", cpus, regime, n_urls, seen_n, round(best, 3), round(n_urls / best),
+      clean_reps, attempts, round(best_frac, 3))
+spark.stop()
+''' % REPO
+
+
+def run_leg(cpus: int, n_urls: int, regime: str, steal_frac_cap: float = 0.25) -> dict:
+    gc = max(2, min(cpus, 8))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_DRIVER_JAVA_OPTS=(
+            f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
+        ),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", _LEG, str(cpus), str(n_urls), regime, str(steal_frac_cap)],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("  "):
+            print(f"[{regime}@{cpus}]{line}", flush=True)
+    parts = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][0].split()
+    return {
+        "cpus": int(parts[1]), "regime": parts[2], "n_urls": int(parts[3]),
+        "seen": int(parts[4]), "sec": float(parts[5]), "rate": int(parts[6]),
+        "clean_reps": int(parts[7]), "attempts": int(parts[8]),
+        "steal_frac_of_best_rep": float(parts[9]),
+    }
+
+
+def main() -> None:
+    n_urls = 8_000_000
+    out: dict[str, dict] = {}
+    for regime in ("atscale", "small"):
+        legs = {c: run_leg(c, n_urls, regime) for c in (2, 8, 32)}
+        out[regime] = {
+            "legs": legs,
+            "eff_2_to_8": round(legs[8]["rate"] / (4 * legs[2]["rate"]), 3),
+            "eff_8_to_32": round(legs[32]["rate"] / (4 * legs[8]["rate"]), 3),
+        }
+        print(regime, {c: legs[c]["rate"] for c in legs},
+              "eff 2->8:", out[regime]["eff_2_to_8"],
+              "eff 8->32:", out[regime]["eff_8_to_32"], flush=True)
+    with open(CACHE, "w") as f:
+        json.dump(out, f)
+    print("wrote", CACHE)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,8 @@ def run_kernel(cpus: int, n_urls: int, mode: str = "auto") -> dict:
 
 
 SWEEP_CACHE = "/tmp/lcs_sweep_cache.json"
+PAIRS_CACHE = "/tmp/lcs_pairs_cache.json"
+NORTH_CACHE = "/tmp/lcs_north_pair.json"
 
 
 def main() -> None:
@@ -115,29 +117,59 @@ def main() -> None:
         sweep = {c: run_bench(c, sf_dir, 8_000_000) for c in (2, 8, 32)}
         with open(SWEEP_CACHE, "w") as f:
             json.dump(sweep, f)
-    pairs = {}
-    for name, n_urls, mode in (
-        ("broadcast", 12_000_000, "auto"),       # seen 4M: broadcast anti-join
-        ("bloom-rebuild", 16_000_000, "auto"),   # seen 5.3M: bitmap built in-run
-        ("bucketed-steady", 16_000_000, "bucketed"),  # maintained store, probe only
-    ):
-        legs = {c: run_kernel(c, n_urls, mode) for c in (1, 4)}
-        pairs[name] = {
-            "n_urls": n_urls,
-            "rate_1": legs[1]["rate"],
-            "rate_4": legs[4]["rate"],
-            "efficiency_1_to_4": round(legs[4]["rate"] / (4 * legs[1]["rate"]), 3),
-        }
+    if "--reuse-sweep" in sys.argv and os.path.exists(PAIRS_CACHE):
+        with open(PAIRS_CACHE) as f:
+            pairs = json.load(f)
+    else:
+        pairs = {}
+        for name, n_urls, mode in (
+            ("broadcast", 12_000_000, "auto"),       # seen 4M: broadcast anti-join
+            ("bloom-rebuild", 16_000_000, "auto"),   # seen 5.3M: bitmap built in-run
+            ("bucketed-steady", 16_000_000, "bucketed"),  # maintained store, probe only
+        ):
+            legs = {c: run_kernel(c, n_urls, mode) for c in (1, 4)}
+            pairs[name] = {
+                "n_urls": n_urls,
+                "rate_1": legs[1]["rate"],
+                "rate_4": legs[4]["rate"],
+                "efficiency_1_to_4": round(legs[4]["rate"] / (4 * legs[1]["rate"]), 3),
+            }
+        with open(PAIRS_CACHE, "w") as f:
+            json.dump(pairs, f)
     fr_ = {c: r["frontier"] for c, r in sweep.items()}
     lg = {c: r["frontier_large_seen"] for c, r in sweep.items()}
     suite = {c: round(sum(r["queries"].values()), 2) for c, r in sweep.items()}
-    eff_2_8 = round(fr_[8]["urls_per_sec"] / (4 * fr_[2]["urls_per_sec"]), 2)
-    eff_lg_2_8 = round(
-        lg[8]["bucketed_bloom_urls_per_sec"] / (4 * lg[2]["bucketed_bloom_urls_per_sec"]), 2
-    )
-    eff_lg_8_32 = round(
-        lg[32]["bucketed_bloom_urls_per_sec"] / (4 * lg[8]["bucketed_bloom_urls_per_sec"]), 2
-    )
+    steal = {
+        c: r.get("host_calibration", {}).get("steal_cpu_sec_during_bench")
+        for c, r in sweep.items()
+    }
+    # Steal-gated kernel legs (scripts/north_pair.py) are the AUTHORITATIVE
+    # scaling numbers when present: every accepted rep saw < 8 core-sec of
+    # hypervisor steal, where the full-bench sweep legs can absorb entire
+    # steal storms (one contaminated sweep measured the 8-core at-scale
+    # kernel at 1/4 of its clean rate).
+    north = None
+    if os.path.exists(NORTH_CACHE):
+        with open(NORTH_CACHE) as f:
+            north = json.load(f)
+    if north is not None:
+        at = {int(c): v for c, v in north["atscale"]["legs"].items()}
+        sm = {int(c): v for c, v in north["small"]["legs"].items()}
+        eff_2_8 = north["small"]["eff_2_to_8"]
+        eff_lg_2_8 = north["atscale"]["eff_2_to_8"]
+        eff_lg_8_32 = north["atscale"]["eff_8_to_32"]
+        head_fr = {c: sm[c]["rate"] for c in (2, 8, 32)}
+        head_lg = {c: at[c]["rate"] for c in (2, 8, 32)}
+    else:
+        eff_2_8 = round(fr_[8]["urls_per_sec"] / (4 * fr_[2]["urls_per_sec"]), 2)
+        eff_lg_2_8 = round(
+            lg[8]["bucketed_bloom_urls_per_sec"] / (4 * lg[2]["bucketed_bloom_urls_per_sec"]), 2
+        )
+        eff_lg_8_32 = round(
+            lg[32]["bucketed_bloom_urls_per_sec"] / (4 * lg[8]["bucketed_bloom_urls_per_sec"]), 2
+        )
+        head_fr = {c: fr_[c]["urls_per_sec"] for c in (2, 8, 32)}
+        head_lg = {c: lg[c]["bucketed_bloom_urls_per_sec"] for c in (2, 8, 32)}
 
     lines = [
         "# BENCH — measured throughput + scaling evidence",
@@ -150,11 +182,24 @@ def main() -> None:
         "",
         "## Headline sweep (8M URLs, Arrow kernel, all dedup strategies)",
         "",
+        "Kernel columns come from the STEAL-GATED legs (scripts/north_pair.py:"
+        if north is not None
+        else "",
+        "a rep only counts when hypervisor steal during its window stays"
+        if north is not None
+        else "",
+        "under 25% of the leg's core-seconds; dirty reps rerun with backoff"
+        if north is not None
+        else "",
+        "until 3 clean ones land). Suite column is the full-bench sweep"
+        if north is not None
+        else "",
+        f"(whole-leg steal core-sec: {steal})." if north is not None else "",
+        "",
         "| parallelism | frontier URLs/s | at-scale 16M-seen bucketed URLs/s | query suite sec |",
         "|---|---|---|---|",
     ] + [
-        f"| local[{c}] | {fr_[c]['urls_per_sec']:,} | "
-        f"{lg[c]['bucketed_bloom_urls_per_sec']:,} | {suite[c]} |"
+        f"| local[{c}] | {head_fr[c]:,} | {head_lg[c]:,} | {suite[c]} |"
         for c in (2, 8, 32)
     ] + [
         "",
@@ -162,11 +207,19 @@ def main() -> None:
         "the AT-SCALE kernel (16M-key seen set — past any broadcast ceiling —",
         "deduped through the maintained bucketed-Bloom store, the exact",
         "steady-state a 10^10-URL frontier runs), measured on the SHIPPED",
-        f"Arrow kernel with the same input at both ends.** 8 -> 32 measures",
-        f"{eff_lg_8_32}: past ~8 busy cores this one-socket box's shared memory",
-        "bandwidth saturates (per-core throughput decays smoothly), a",
-        "contention real multi-node scale-out does not have — each node",
-        "brings its own memory controllers. Nothing in the PLAN serializes:",
+        f"Arrow kernel with the same input at both ends"
+        + ".** 8 -> 32 measures",
+        f"{eff_lg_8_32} on this run and 0.09-1.05 ACROSS runs — past 8 cores the",
+        "kernel sits on the Arrow serialize/deserialize boundary, which the",
+        "synthetic-kernel probe below shows tops out at ~4-5M rows/s PER",
+        "LOCAL-MODE JVM regardless of cores (a mapInPandas IDENTITY is",
+        "equally flat), while pure JVM string allocation — the round-2",
+        "'memory bandwidth' suspect — actually scales at 0.93. At the",
+        "boundary, run-to-run placement of GC/worker threads swings the",
+        "measured rate several-fold, hence the instability. A real",
+        "deployment runs one JVM + python-worker pool per EXECUTOR, so this",
+        "per-JVM lane cap multiplies out with executor count instead of",
+        "saturating one process. Nothing in the PLAN serializes:",
         "no driver loop, no global sort; every shuffle partitions on",
         "host/url_hash keys, and the Bloom store is per-bucket files merged",
         "on executors.",
@@ -182,19 +235,21 @@ def main() -> None:
         for name, p in pairs.items()
     ] + [
         "",
-        "Kernel-pair caveats, reported in full: 1 -> 4 pairs range 0.6-0.8",
+        "Kernel-pair caveats, reported in full: 1 -> 4 pairs range"
+        f" {min(p['efficiency_1_to_4'] for p in pairs.values())}-"
+        f"{max(p['efficiency_1_to_4'] for p in pairs.values())}",
         "across regimes and runs (+-10-15% between identical sweeps; at",
         "local[1] the Python canonicalizer worker pipelines on a second OS",
         "core, inflating the 1-core leg and deflating every 1 -> N ratio —",
         "the 2 -> 8 pair above avoids that bias, which is why round 1 and",
         "round 2 both treat it as the honest N -> 4N surrogate). The",
         "compute-bound expression kernel measured 0.88 at 2 -> 8 in round 1",
-        f"(git show 09e0982:BENCH.md); the full mixed suite measures {eff_2_8}",
-        "at 2 -> 8 (small-seen broadcast regime included).",
+        "(git show 09e0982:BENCH.md).",
         "",
         "Raw JSON:",
         "```json",
         json.dumps(pairs),
+    ] + ([json.dumps(north)] if north is not None else []) + [
     ] + [json.dumps(sweep[c]) for c in (2, 8, 32)] + [
         "```",
     ]
@@ -227,15 +282,19 @@ def main() -> None:
             for k, v in kern.items()
         ]
         if kern:
-            mem_effs = [v["efficiency_8_to_32"] for k, v in kern.items() if k != "arith"]
-            arith_eff = kern.get("arith", {}).get("efficiency_8_to_32")
+            arrow_eff = kern.get("arrow", {}).get("efficiency_8_to_32")
+            others = {k: v["efficiency_8_to_32"] for k, v in kern.items() if k != "arrow"}
             lines += [
                 "",
-                f"Pure arithmetic sustains {arith_eff} while every",
-                f"memory-touching kernel lands at {min(mem_effs)}-{max(mem_effs)}"
-                " — the ceiling is the",
-                "box's shared memory system, not a serialization in the engine's",
-                "plan (none of these kernels run any engine code).",
+                f"Only the Arrow-boundary kernel is flat ({arrow_eff}); string",
+                f"allocation, shuffle, and arithmetic all scale ({min(others.values())}-"
+                f"{max(others.values())}).",
+                "The ceiling is the per-JVM Arrow lane — not memory bandwidth,",
+                "and not a serialization in the engine's plan (none of these",
+                "kernels run any engine code). The frontier kernel's absolute",
+                "rate matching the arrow kernel's ~4M rows/s cap at local[32]",
+                "corroborates: past ~8 cores the canonicalizer's Arrow hop is",
+                "the binding resource in a single local-mode JVM.",
             ]
         if vol:
             lines += [

@@ -170,6 +170,72 @@ class TestEngineWiring:
         assert results["cuckoo"]["seen"] == results[False]["seen"]
         assert results["cuckoo"]["order"] == results[False]["order"]
 
+    def test_retract_and_recrawl(self, spark, tmp_path):
+        """The deletion path end-to-end: retract a crawled URL from seen
+        (cuckoo in-place delete), requeue it, and watch the next wave
+        re-schedule and re-fetch it."""
+        from pyspark.sql import functions as F
+
+        from literature_crawler_spark.plans.crawl import CrawlEngine
+        from literature_crawler_spark.plans.state import SnapshotStore
+        from literature_crawler_spark.sources import synthetic as syn
+
+        pages = syn.generate_pages(spark, 200, 6, with_images=False)
+        seeds = syn.generate_seeds(spark, 15, 200, 6)
+        store = SnapshotStore(str(tmp_path / "rt"))
+        eng = CrawlEngine(spark, store, pages, use_bloom="cuckoo")
+        eng.run(seeds, max_waves=2)
+        victim = eng.crawl_order().orderBy("seq").limit(1).collect()[0]
+        before = eng.seen().count()
+
+        out = eng.retract(
+            spark.createDataFrame([(victim.canon_url,)], "url string"), requeue=True
+        )
+        assert out == {"retracted": 1, "requeued": 1}
+        assert eng.seen().count() == before - 1
+        assert (
+            eng.seen().filter(F.col("canon_url") == victim.canon_url).count() == 0
+        )
+        # the cuckoo store agrees (no stale membership hit for the victim)
+        probed = (
+            eng.frontier()
+            .filter(F.col("canon_url") == victim.canon_url)
+            .withColumn("h", eng._bloom_store.might_contain_col(F.col("url_hash")))
+        )
+        assert probed.filter("h").count() == 0
+        # next wave re-schedules the requeued row (same seq, new wave)
+        next_wave = (eng.last_wave() or 0) + 1
+        eng.run_wave(next_wave)
+        reorder = eng.crawl_order().filter(
+            (F.col("wave") == next_wave) & (F.col("canon_url") == victim.canon_url)
+        )
+        assert reorder.count() == 1
+
+    def test_retract_rebuilds_bloom_store(self, spark, tmp_path):
+        """Bloom bitmaps cannot delete: retract must rebuild the store
+        from the new seen, and the rebuilt store must still cover every
+        remaining key (superset invariant)."""
+        from pyspark.sql import functions as F
+
+        from literature_crawler_spark.plans.crawl import CrawlEngine
+        from literature_crawler_spark.plans.state import SnapshotStore
+        from literature_crawler_spark.sources import synthetic as syn
+
+        pages = syn.generate_pages(spark, 150, 5, with_images=False)
+        seeds = syn.generate_seeds(spark, 12, 150, 5)
+        store = SnapshotStore(str(tmp_path / "rb"))
+        eng = CrawlEngine(spark, store, pages, use_bloom="bucketed")
+        eng.run(seeds, max_waves=2)
+        victim = eng.crawl_order().orderBy("seq").limit(1).collect()[0]
+        out = eng.retract(
+            spark.createDataFrame([(victim.canon_url,)], "url string")
+        )
+        assert out["retracted"] == 1
+        remaining = eng.seen().withColumn(
+            "h", eng._bloom_store.might_contain_col(F.col("url_hash"))
+        )
+        assert remaining.filter(~F.col("h")).count() == 0
+
     def test_engine_overflow_rebuild(self, spark, tmp_path, monkeypatch):
         """Force a tiny store so wave merges overflow: the engine must
         transparently rebuild from committed seen and still match the
