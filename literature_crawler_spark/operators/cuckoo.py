@@ -346,23 +346,29 @@ class BucketedCuckooStore:
         return keyed.groupBy("_cb").applyInPandas(fold, out).collect()
 
     # ----------------------------------------------------------- probe ----
+    def probe_np(self, hn: np.ndarray) -> np.ndarray:
+        """Vectorized membership test of an int64 hash array (same contract
+        as BucketedBloomStore.probe_np — shared by the pandas_udf probe and
+        the fused canonicalize kernel). Picklable instance, lazy per-bucket
+        table loads through the process cache."""
+        out = np.zeros(len(hn), dtype=bool)
+        if len(hn) == 0:
+            return out
+        buckets = np.mod(hn.astype(np.int64), self.n_buckets)
+        for b in np.unique(buckets):
+            arr = _load_table(os.path.join(self.root, f"b{int(b):05d}.cuckoo"))
+            if arr is None:
+                continue
+            mask = buckets == b
+            out[mask] = _Table(arr).contains(hn[mask])
+        return out
+
     def might_contain_col(self, hash_col: Column) -> Column:
         """Membership-test Column (same contract as the Bloom store's)."""
-        root, n_buckets = self.root, self.n_buckets
+        store = self
 
         @F.pandas_udf(T.BooleanType())
         def _probe(h: pd.Series) -> pd.Series:
-            hn = h.to_numpy()
-            out = np.zeros(len(hn), dtype=bool)
-            if len(hn) == 0:
-                return pd.Series(out)
-            buckets = np.mod(hn.astype(np.int64), n_buckets)
-            for b in np.unique(buckets):
-                arr = _load_table(os.path.join(root, f"b{int(b):05d}.cuckoo"))
-                if arr is None:
-                    continue
-                mask = buckets == b
-                out[mask] = _Table(arr).contains(hn[mask])
-            return pd.Series(out)
+            return pd.Series(store.probe_np(h.to_numpy()))
 
         return _probe(hash_col)

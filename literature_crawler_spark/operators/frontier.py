@@ -31,13 +31,23 @@ DEFAULT_N_BUCKETS = 64
 
 
 def _arrow_canon_runner(
-    url_col: str, base_host_col: str | None, out_cols: list[str] | None = None
+    url_col: str,
+    base_host_col: str | None,
+    out_cols: list[str] | None = None,
+    probe_store=None,
 ):
     """mapInPandas kernel: canonicalize a whole Arrow batch with
     pyarrow.compute RE2 kernels. Semantics mirror functions/urls.py
     canonicalize/host_of exactly (equality is property-tested).
     ``out_cols``: input columns to return (None = all) — see
-    canonicalize_candidates on pruning through the UDF boundary."""
+    canonicalize_candidates on pruning through the UDF boundary.
+    ``probe_store``: a Bucketed{Bloom,Cuckoo}Store — when given, the kernel
+    ALSO emits ``url_hash`` (Spark-exact xxhash64 of canon_url, computed
+    vectorized in numpy: functions/npxxhash.py) and ``_maybe_seen``
+    (``probe_store.probe_np``) so the whole
+    canonicalize→hash→membership-test chain costs ONE Arrow crossing —
+    the second crossing (a probe pandas_udf) was the local[32] ceiling
+    (BENCH.md: the per-JVM Arrow lane is flat at ~4-5M rows/s)."""
 
     def run(batches):
         import pyarrow as pa
@@ -94,6 +104,12 @@ def _arrow_canon_runner(
             out = pdf.copy() if out_cols is None else pdf[out_cols].copy()
             out["canon_url"] = canon.to_pandas()
             out["host"] = host_out.to_pandas()
+            if probe_store is not None:
+                from literature_crawler_spark.functions import npxxhash
+
+                hashes = npxxhash.xxhash64_arrow(canon)
+                out["url_hash"] = hashes
+                out["_maybe_seen"] = probe_store.probe_np(hashes)
             yield out
 
     return run
@@ -106,6 +122,7 @@ def canonicalize_candidates(
     n_buckets: int = DEFAULT_N_BUCKETS,
     impl: str = "arrow",
     output_cols: list[str] | None = None,
+    probe_store=None,
 ) -> DataFrame:
     """Normalize raw candidate URLs: resolve relative -> canonicalize ->
     hash -> bucket -> host.
@@ -140,17 +157,20 @@ def canonicalize_candidates(
             f"{f.name} {f.dataType.simpleString()}" for f in out_fields
         )
         sep = ", " if schema else ""
+        extra = "" if probe_store is None else ", url_hash bigint, _maybe_seen boolean"
         mapped = links.mapInPandas(
             _arrow_canon_runner(
-                url_col, base_host_col, [f.name for f in out_fields]
+                url_col, base_host_col, [f.name for f in out_fields], probe_store
             ),
-            f"{schema}{sep}canon_url string, host string",
+            f"{schema}{sep}canon_url string, host string{extra}",
         )
-        return (
-            mapped.filter(F.col("host") != "")
-            .withColumn("url_hash", hashing.url_hash(F.col("canon_url")))
-            .withColumn("bucket", hashing.bucket_of(F.col("url_hash"), n_buckets))
+        out = mapped.filter(F.col("host") != "")
+        if probe_store is None:
+            out = out.withColumn("url_hash", hashing.url_hash(F.col("canon_url")))
+        return out.withColumn(
+            "bucket", hashing.bucket_of(F.col("url_hash"), n_buckets)
         )
+    assert probe_store is None, "probe_store fusion requires impl='arrow'"
     u = F.col(url_col)
     if base_host_col is not None:
         # trim BEFORE relative-resolution to match the Arrow kernel (which
@@ -296,19 +316,28 @@ def dedup_against_seen(
     loop would otherwise strand one cached DataFrame per wave — VERDICT
     r02 item 3). If None, the cache is left to Spark's LRU eviction.
     """
+    premarked = "_maybe_seen" in candidates.columns
     if seen is None:
-        return candidates
+        return candidates.drop("_maybe_seen") if premarked else candidates
     seen_keys = seen.select("url_hash")
     n = expected_seen if expected_seen is not None else seen_keys.count()
     if n == 0:
-        return candidates
+        return candidates.drop("_maybe_seen") if premarked else candidates
     if use_bloom == "auto":
-        if n <= BROADCAST_SEEN_MAX and bloom_store is None:
+        if n <= BROADCAST_SEEN_MAX and bloom_store is None and not premarked:
             return candidates.join(F.broadcast(seen_keys), "url_hash", "left_anti")
         use_bloom = True
     if not use_bloom:
-        return candidates.join(seen_keys, "url_hash", "left_anti")
-    if bloom_store is not None:
+        return candidates.drop("_maybe_seen").join(
+            seen_keys, "url_hash", "left_anti"
+        ) if premarked else candidates.join(seen_keys, "url_hash", "left_anti")
+    if premarked:
+        # candidates came out of the FUSED canonicalize kernel
+        # (canonicalize_candidates(probe_store=...)): the membership test
+        # already ran inside the canon Arrow pass, so no second crossing —
+        # just split on the carried flag.
+        probe = None
+    elif bloom_store is not None:
         probe = bloom_store.might_contain_col(F.col("url_hash"))
     else:
         bf = bloom_mod.build_bloom(seen_keys, "url_hash", expected_items=n)
@@ -316,7 +345,9 @@ def dedup_against_seen(
     # persist the probed candidates: both branches of the union scan this
     # one materialization instead of re-running the upstream pipeline
     # (canonicalize + probe) twice
-    maybe = candidates.withColumn("_maybe_seen", probe).persist()
+    maybe = (
+        candidates if premarked else candidates.withColumn("_maybe_seen", probe)
+    ).persist()
     if released is not None:
         released.append(maybe)
     definitely_new = maybe.filter(~F.col("_maybe_seen")).drop("_maybe_seen")

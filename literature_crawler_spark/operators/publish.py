@@ -155,3 +155,93 @@ def publish_literature(
         "literature_keywords": ast.link_table(rows, "literature_id", "keywords", kw_dim),
         "literature_authors": ast.link_table(au, "literature_id", "names", au_dim),
     }
+
+
+# img-tag grammar for the figure-list rebuild. The reference parses with
+# BeautifulSoup; the fixture/publish HTML this engine emits (and the
+# protocols.io content it mirrors) uses double-quoted attributes, which
+# this regex form covers — a src-less <img> (which would crash the
+# reference's ``oss_path.replace``) is dropped instead.
+_IMG_TAG_RX = r"(?i)<img\b[^>]*>"
+_SRC_RX = r'(?i)\bsrc\s*=\s*"([^"]*)"'
+_TITLE_RX = r'(?i)\btitle\s*=\s*"([^"]*)"'
+
+
+def extract_figure_list(
+    steps: DataFrame,
+    id_cols: list[str] = ("literature_id", "doi"),
+    data_col: str = "data",
+    step_order_col: str = "step_idx",
+    static_prefix: str = "https://static.yanyin.tech/",
+) -> DataFrame:
+    """Rebuild ``literature_figures`` rows from rendered step content —
+    the publish-stage figure-list extraction
+    (``/root/reference/app/service/protocol_io/process_task/protocol_io_publish.py:226-248``
+    ``insert_figure_list``): every ``<img>`` across a document's steps, in
+    (step, document) order, becomes one figure row with
+
+    * ``oss_path``  — the img ``src`` with the static-host prefix stripped
+      (the reference's ``replace('https://static.yanyin.tech/', '')``);
+      inline ``;base64`` data URIs are skipped (:237-239);
+    * ``description`` — the ``title`` attribute, NULL when absent
+      (BeautifulSoup ``.get`` -> None);
+    * ``preview_oss_path`` — NULL at insert time (:241), paired later by
+      ``operators.assets.pair_figures_previews``.
+
+    Spark-first shape: ``regexp_extract_all`` -> ``posexplode`` (keeps the
+    reference's in-document order as ``fig_idx``) -> attribute regexes —
+    one codegen projection per row, no HTML parser, no Python. At 100 TB
+    this is a single narrow map over the published table: no shuffle, no
+    driver state (the reference pages LIMIT/OFFSET 10 rows at a time).
+    """
+    tags = steps.select(
+        *id_cols,
+        F.col(step_order_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(data_col), F.lit(_IMG_TAG_RX), F.lit(0))
+        ).alias("fig_idx", "_img"),
+    )
+    src = F.regexp_extract(F.col("_img"), _SRC_RX, 1)
+    return (
+        tags.withColumn("_src", src)
+        .filter(F.col("_src") != "")
+        .withColumn("oss_path", F.replace(F.col("_src"), F.lit(static_prefix), F.lit("")))
+        .filter(~F.col("oss_path").contains(";base64"))
+        .withColumn(
+            "description",
+            F.nullif(F.regexp_extract(F.col("_img"), _TITLE_RX, 1), F.lit("")),
+        )
+        .withColumn("preview_oss_path", F.lit(None).cast("string"))
+        .drop("_img", "_src")
+    )
+
+
+def merge_figure_list(
+    existing: DataFrame | None,
+    fresh: DataFrame,
+    conflict_strategy: str = "insert",
+    key: str = "doi",
+) -> DataFrame:
+    """Figure-list conflict handling as set operations — the reference's
+    per-doc branch
+    (``protocol_io_update_figure_list.py:63-`` ``update_figure_list``):
+
+    * ``'skip'``   — a document that already has figure rows keeps them;
+      fresh rows land only for documents with none;
+    * ``'update'`` — delete-then-reinsert per document (``delete_figure_list``
+      + ``insert_figure_list``): existing rows for refreshed documents drop;
+    * ``'insert'`` — unconditional append (the reference's else branch).
+
+    Anti-joins on the document key replace the reference's per-doc
+    ``query_row`` point-read + Redis success-set; both sides stay
+    distributed.
+    """
+    if existing is None:
+        return fresh
+    if conflict_strategy == "skip":
+        keep_fresh = fresh.join(existing.select(key).distinct(), key, "left_anti")
+        return existing.unionByName(keep_fresh)
+    if conflict_strategy == "update":
+        keep_existing = existing.join(fresh.select(key).distinct(), key, "left_anti")
+        return keep_existing.unionByName(fresh)
+    return existing.unionByName(fresh)

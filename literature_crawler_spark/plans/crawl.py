@@ -151,10 +151,26 @@ class CrawlEngine:
                 # staleness check: a pre-existing store BEHIND the committed
                 # seen set (e.g. interleaved runs with a different use_bloom
                 # mode) would give Bloom false negatives -> re-crawled URLs.
-                # Re-merge the full seen set (idempotent OR) when behind.
                 wm = self._bloom_store.watermark()
                 if wm is None or wm < seen_latest["id"]:
-                    self._store_merge(self.seen().select("url_hash"))
+                    if hasattr(self._bloom_store, "delete"):
+                        # cuckoo insert is NOT idempotent: re-merging keys
+                        # already present would ~double occupancy and trip
+                        # an overflow rebuild, and a crash loop between
+                        # merge and set_watermark would repeat that rebuild
+                        # each start. Rebuild fresh at current capacity
+                        # instead (bounded, restart-idempotent).
+                        st = self._bloom_store
+                        cap = st.bucket_rows * cuckoo_mod.SLOTS * st.n_buckets
+                        self._bloom_store = cuckoo_mod.BucketedCuckooStore.create(
+                            st.root, expected_items=cap, n_buckets=st.n_buckets
+                        )
+                    # bloom: in-place OR re-merge is idempotent; cuckoo:
+                    # merging into the fresh store (overflow-safe resize
+                    # inside _store_merge)
+                    self._store_merge(
+                        self.seen().select("url_hash").dropDuplicates(["url_hash"])
+                    )
                     self._bloom_store.set_watermark(seen_latest["id"])
         # Optional Arrow-UDF fetch path (operators.fetch.Fetcher): when set,
         # waves fetch via mapInPandas over salt-spread partitions (the live
@@ -286,8 +302,12 @@ class CrawlEngine:
         n_requeued = 0
         if requeue:
             frontier = self.frontier()
+            # only rows whose status actually changes count toward the
+            # pending meta — seeds/new rows are in seen while still
+            # 'pending', so flipping them too would double-count
             flip = (
                 frontier.join(keys, "url_hash", "left_semi")
+                .filter(F.col("status") != "pending")
                 .drop("status")
                 .withColumn("status", F.lit("pending"))
                 .select(*FRONTIER_COLS)
@@ -435,8 +455,14 @@ class CrawlEngine:
             F.col("page_host").alias("base_host"),
             F.posexplode("links").alias("pos", "link"),
         )
+        # when a maintained membership store exists, the seen-probe runs
+        # INSIDE the canonicalize Arrow kernel (one Python crossing for
+        # canonicalize+hash+membership-test instead of two — the local-mode
+        # Arrow lane is the kernel's ceiling, BENCH.md); dedup_against_seen
+        # then just splits on the carried _maybe_seen flag
         cand = fr.canonicalize_candidates(
-            links.withColumnRenamed("link", "url"), base_host_col="base_host"
+            links.withColumnRenamed("link", "url"), base_host_col="base_host",
+            probe_store=self._bloom_store,
         )
         if self.robots is not None:
             cand = fr.apply_robots(cand, self.robots)

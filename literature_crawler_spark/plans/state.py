@@ -144,11 +144,13 @@ class SnapshotStore:
             (i for i, m in enumerate(upto) if m["mode"] == "replace"), default=None
         )
         tail = upto if base_idx is None else upto[base_idx:]
-        dirs = [
-            self._sdir(table, m["id"])
-            for m in tail
-            if m["mode"] in ("append", "replace")
-        ]
+        # a merge delta in the tail of an append-head table would be
+        # silently dropped here — fail loudly instead, mirroring
+        # _read_merged's append/merge-mixing guard
+        assert all(m["mode"] in ("append", "replace") for m in tail), (
+            f"table {table}: merge snapshots cannot mix with an append head"
+        )
+        dirs = [self._sdir(table, m["id"]) for m in tail]
         return spark.read.parquet(*dirs)
 
     def _read_merged(self, spark: SparkSession, table: str, upto: list[dict]) -> DataFrame:

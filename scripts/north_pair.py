@@ -38,7 +38,17 @@ cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); regime = sys.argv[3]
 # fraction of the leg's own core-seconds (steal is a whole-VM counter, so
 # an absolute cap over-rejects low-parallelism legs)
 STEAL_FRAC_CAP = float(sys.argv[4])
-spark = get_spark("north", master=f"local[{cpus}]", shuffle_partitions=max(2 * cpus, 4))
+# master override (VERDICT r03 item 4): 'local-cluster[N,C,M]' runs N
+# separate worker JVMs x C cores — the in-sandbox stand-in for real
+# executors, measuring whether per-JVM Arrow lanes multiply out
+master = sys.argv[5] if len(sys.argv) > 5 else f"local[{cpus}]"
+extra = {}
+if master.startswith("local-cluster"):
+    extra = {"spark.executor.memory": "6g",
+             "spark.executor.extraJavaOptions":
+                 "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1"}
+spark = get_spark("north", master=master, shuffle_partitions=max(2 * cpus, 4),
+                  extra_conf=extra)
 n_hosts = 1000
 
 def steal():
@@ -69,7 +79,10 @@ bstore.merge(seen)  # untimed: the store is maintained incrementally across wave
 
 def run_once():
     t0 = time.time()
-    cand = fr.canonicalize_candidates(urls(spark.range(n_urls)), output_cols=["id"])
+    # fused kernel: canonicalize + xxhash64 + store probe in ONE Arrow
+    # crossing (operators/frontier.py, round 4)
+    cand = fr.canonicalize_candidates(urls(spark.range(n_urls)),
+                                      output_cols=["id"], probe_store=bstore)
     new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True,
                                 expected_seen=seen_n, bloom_store=bstore)
     pending = new.select("canon_url", "url_hash", "host",
@@ -101,7 +114,13 @@ spark.stop()
 ''' % REPO
 
 
-def run_leg(cpus: int, n_urls: int, regime: str, steal_frac_cap: float = 0.25) -> dict:
+def run_leg(
+    cpus: int,
+    n_urls: int,
+    regime: str,
+    steal_frac_cap: float = 0.25,
+    master: str | None = None,
+) -> dict:
     gc = max(2, min(cpus, 8))
     env = dict(
         os.environ,
@@ -109,25 +128,49 @@ def run_leg(cpus: int, n_urls: int, regime: str, steal_frac_cap: float = 0.25) -
             f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
         ),
     )
-    out = subprocess.run(
-        [sys.executable, "-c", _LEG, str(cpus), str(n_urls), regime, str(steal_frac_cap)],
-        env=env, capture_output=True, text=True, check=True, cwd=REPO,
-    )
+    argv = [sys.executable, "-c", _LEG, str(cpus), str(n_urls), regime,
+            str(steal_frac_cap)]
+    if master is not None:
+        argv.append(master)
+    out = subprocess.run(argv, env=env, capture_output=True, text=True,
+                         check=True, cwd=REPO)
     for line in out.stdout.splitlines():
         if line.startswith("  "):
-            print(f"[{regime}@{cpus}]{line}", flush=True)
+            print(f"[{regime}@{master or cpus}]{line}", flush=True)
     parts = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][0].split()
     return {
         "cpus": int(parts[1]), "regime": parts[2], "n_urls": int(parts[3]),
         "seen": int(parts[4]), "sec": float(parts[5]), "rate": int(parts[6]),
         "clean_reps": int(parts[7]), "attempts": int(parts[8]),
         "steal_frac_of_best_rep": float(parts[9]),
+        "master": master or f"local[{cpus}]",
     }
 
 
 def main() -> None:
     n_urls = 8_000_000
+    multi_jvm = "--multi-jvm" in sys.argv
     out: dict[str, dict] = {}
+    if multi_jvm:
+        # VERDICT r03 item 4: does the per-JVM Arrow lane multiply out
+        # across worker JVMs? local-cluster[4,8] = 4 executor JVMs x 8
+        # cores (32 total) vs one 8-core JVM — same input, at-scale regime.
+        legs = {
+            "local[8]": run_leg(8, n_urls, "atscale"),
+            "local-cluster[4,8,8192]": run_leg(
+                32, n_urls, "atscale", master="local-cluster[4,8,8192]"
+            ),
+        }
+        eff = round(
+            legs["local-cluster[4,8,8192]"]["rate"] / (4 * legs["local[8]"]["rate"]), 3
+        )
+        out["multi_jvm"] = {"legs": legs, "eff_8_to_4x8": eff}
+        print("multi_jvm", {k: v["rate"] for k, v in legs.items()},
+              "eff 8 -> 4x8 JVMs:", eff, flush=True)
+        with open("/tmp/lcs_multi_jvm.json", "w") as f:
+            json.dump(out, f)
+        print("wrote /tmp/lcs_multi_jvm.json")
+        return
     for regime in ("atscale", "small"):
         legs = {c: run_leg(c, n_urls, regime) for c in (2, 8, 32)}
         out[regime] = {

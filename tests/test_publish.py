@@ -128,3 +128,64 @@ def test_publish_skip_strategy(spark):
         _clean(spark), existing=existing, conflict_strategy="skip"
     )
     assert sorted(r.literature_id for r in out["literature"].collect()) == [2, 3, 4]
+
+
+def _steps(spark):
+    # two docs; doc 0 has two steps, the second holding a base64 data-URI
+    # (reference skips it, protocol_io_publish.py:237-239), a src-less img
+    # (would crash the reference; we drop it), and a title-less img
+    rows = [
+        (10, "10.1/a", 0,
+         '<p>x</p><img src="https://static.yanyin.tech/f/a0.png" title="Fig A0">'
+         '<img src="https://static.yanyin.tech/f/a1.png">'),
+        (10, "10.1/a", 1,
+         '<img src="data:image/png;base64,Zm9v"><img alt="no src">'
+         '<IMG SRC="https://cdn.other/b.jpg" TITLE="Up">'),
+        (11, "10.1/b", 0, "<p>no figures here</p>"),
+    ]
+    return spark.createDataFrame(
+        rows, "literature_id long, doi string, step_idx int, data string"
+    )
+
+
+def test_extract_figure_list_reference_semantics(spark):
+    out = pb.extract_figure_list(_steps(spark)).orderBy(
+        "literature_id", "step_idx", "fig_idx"
+    ).collect()
+    got = [
+        (r.literature_id, r.step_idx, r.fig_idx, r.oss_path, r.description,
+         r.preview_oss_path)
+        for r in out
+    ]
+    assert got == [
+        # prefix stripped, title -> description, in-document order kept
+        (10, 0, 0, "f/a0.png", "Fig A0", None),
+        (10, 0, 1, "f/a1.png", None, None),  # title absent -> NULL
+        # base64 skipped, src-less dropped, case-insensitive tag/attrs,
+        # non-static src kept verbatim (replace is a no-op)
+        (10, 1, 2, "https://cdn.other/b.jpg", "Up", None),
+    ]
+
+
+def test_merge_figure_list_strategies(spark):
+    fresh = pb.extract_figure_list(_steps(spark))
+    existing = spark.createDataFrame(
+        [
+            (10, "10.1/a", -1, 0, "stale/a.png", None, None),
+            (99, "10.9/z", -1, 0, "keep/z.png", None, None),
+        ],
+        "literature_id long, doi string, step_idx int, fig_idx int,"
+        " oss_path string, description string, preview_oss_path string",
+    )
+    # skip: docs that already have rows keep them; fresh lands only for new
+    skip = pb.merge_figure_list(existing, fresh, "skip")
+    assert sorted(r.oss_path for r in skip.collect()) == ["keep/z.png", "stale/a.png"]
+    # update: delete+reinsert for refreshed docs; untouched docs survive
+    upd = pb.merge_figure_list(existing, fresh, "update")
+    paths = sorted(r.oss_path for r in upd.collect())
+    assert paths == ["f/a0.png", "f/a1.png", "https://cdn.other/b.jpg", "keep/z.png"]
+    # insert: unconditional append (the reference's else branch)
+    ins = pb.merge_figure_list(existing, fresh, "insert")
+    assert ins.count() == 5
+    # no existing set at all
+    assert pb.merge_figure_list(None, fresh, "update").count() == 3
