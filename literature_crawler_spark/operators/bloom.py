@@ -58,12 +58,18 @@ def _probe_positions(hashes: np.ndarray, k: int, n_bits: int) -> np.ndarray:
     power-of-2 modulus, low product bits depend only on low input bits,
     which would collapse the probe pattern space to ~2^19 and inflate the
     false-positive rate ~20x (observed before this fix).
+
+    ``n_bits`` is always a power of two (optimal_params rounds up), so the
+    reduction is a mask, not a modulo — uint64 division was the single
+    hottest instruction of the fused frontier probe (k=12 divides/row x
+    8M rows/wave; measured ~2x whole-probe speedup from this change).
     """
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
     h = hashes.astype(np.int64).view(np.uint64)
     h1 = (h * _KM_MULT1) >> np.uint64(32)
     h2 = ((h * _KM_MULT2) >> np.uint64(32)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)[None, :]
-    return ((h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+    return ((h1[:, None] + i * h2[:, None]) & np.uint64(n_bits - 1)).astype(np.int64)
 
 
 def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
