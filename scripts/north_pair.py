@@ -152,21 +152,37 @@ def main() -> None:
     multi_jvm = "--multi-jvm" in sys.argv
     out: dict[str, dict] = {}
     if multi_jvm:
-        # VERDICT r03 item 4: does the per-JVM Arrow lane multiply out
-        # across worker JVMs? local-cluster[4,8] = 4 executor JVMs x 8
-        # cores (32 total) vs one 8-core JVM — same input, at-scale regime.
+        # VERDICT r03 item 4 + the north rule's OWN shape: N vs 4N
+        # EXECUTORS. local-cluster[W,8,8192] runs W separate executor JVMs
+        # (each with its own python-worker pool and Arrow lane) x 8 cores —
+        # the faithful in-sandbox surrogate for a 1-executor vs 4-executor
+        # cluster, and the direct test of whether the per-JVM Arrow lane
+        # multiplies out with executor count. Same input, at-scale regime
+        # (16M-key seen, maintained bucketed store).
         legs = {
             "local[8]": run_leg(8, n_urls, "atscale"),
+            "local-cluster[1,8,8192]": run_leg(
+                8, n_urls, "atscale", master="local-cluster[1,8,8192]"
+            ),
             "local-cluster[4,8,8192]": run_leg(
                 32, n_urls, "atscale", master="local-cluster[4,8,8192]"
             ),
         }
-        eff = round(
+        eff_exec = round(
+            legs["local-cluster[4,8,8192]"]["rate"]
+            / (4 * legs["local-cluster[1,8,8192]"]["rate"]), 3
+        )
+        eff_vs_local = round(
             legs["local-cluster[4,8,8192]"]["rate"] / (4 * legs["local[8]"]["rate"]), 3
         )
-        out["multi_jvm"] = {"legs": legs, "eff_8_to_4x8": eff}
+        out["multi_jvm"] = {
+            "legs": legs,
+            "eff_1x8_to_4x8_executors": eff_exec,
+            "eff_local8_to_4x8": eff_vs_local,
+        }
         print("multi_jvm", {k: v["rate"] for k, v in legs.items()},
-              "eff 8 -> 4x8 JVMs:", eff, flush=True)
+              "eff 1 -> 4 executors:", eff_exec,
+              "eff local[8] -> 4x8:", eff_vs_local, flush=True)
         with open("/tmp/lcs_multi_jvm.json", "w") as f:
             json.dump(out, f)
         print("wrote /tmp/lcs_multi_jvm.json")
