@@ -366,6 +366,10 @@ def embedding_near_dup_pairs(
       before the pair join, so each pair pays only a zip_with dot fold
       (measured 2.2x faster than the Arrow-batch einsum UDF at 175k
       pairs — the Python crossing cost more than the fold);
+    * the verify input is explicitly repartitioned to >= 2x cluster
+      parallelism: the pair exchange is 16 B/row, so AQE's byte-target
+      coalescing would serialize the compute-bound cosine stage onto 1-2
+      tasks (the r3 tail — measured ~45 percent of the query's wall time);
     * cross-table duplicate pairs are deduped AFTER the threshold filter:
       the few survivors shuffle instead of the full candidate set (the
       per-pair verify is cheaper than a 100x-larger exchange), at the
@@ -399,6 +403,18 @@ def embedding_near_dup_pairs(
         )
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
     )
+    # The verify stage is COMPUTE-bound (~2x64-element folds per pair),
+    # but its input is a 16-byte-per-row exchange that AQE coalesces to a
+    # byte target — at local[32] the whole cosine verify ran on 2
+    # partitions (measured 2.2 s -> 1.2 s at sf0.1 with this fix).
+    # Explicit repartition floors the stage at 2x cluster parallelism and
+    # scales up with estimated pair volume (~32 MB/partition) so huge
+    # candidate sets don't produce huge partitions either.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    est_bucket = max(n >> n_planes, 2)
+    est_pairs = n_tables * n * est_bucket // 2
+    n_verify_parts = max(2 * par, est_pairs * 16 // (32 << 20))
+    cand = cand.repartition(n_verify_parts)
     vecs = base.select(
         "_id",
         "_v",

@@ -62,6 +62,19 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Executor python workers must import this package. local[N] inherits
+        # the driver's sys.path, but separate executor JVMs (local-cluster in
+        # the sandbox, spark-submit --py-files on a real cluster) do not —
+        # without this, every pandas/Arrow UDF dies with ModuleNotFoundError.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p for p in [
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                ] if p
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
