@@ -135,17 +135,19 @@ class _Table:
         return False
 
     def insert_batch(self, h: np.ndarray) -> int:
-        """Insert all hashes; returns how many could NOT be placed (0 on
-        success — any other value means the bucket must be rebuilt
-        bigger; partial placements are fine because the caller discards
-        the file on overflow rather than committing it)."""
+        """Insert hashes until the first placement failure; returns 0 on
+        full success, nonzero on overflow. The caller discards the file
+        and rebuilds bigger on ANY overflow, so continuing past the
+        first failure is pure waste — and pathological: every insert
+        into a full table walks MAX_KICKS evictions, so a badly
+        undersized bucket would burn minutes before reporting what the
+        first failure already proved."""
         f = _fingerprints(h)
         i1 = _index1(h, self.m)
-        failed = 0
         for j in range(len(h)):
             if not self.insert_one(int(i1[j]), int(f[j])):
-                failed += 1
-        return failed
+                return len(h) - j
+        return 0
 
     def contains(self, h: np.ndarray) -> np.ndarray:
         if len(h) == 0:
