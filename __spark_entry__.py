@@ -279,7 +279,14 @@ def _doc_token_stats(spark, sf_dir):
     ratios AND per-document language-ID (merged round-2
     doc_lang_distribution entry — the per-doc lang_pred is a strictly
     stronger check than its 2-row groupBy)."""
-    d = _t(spark, sf_dir, "documents")
+    # The fixture is one small single-row-group parquet file = ONE input
+    # split, so this ~30-regex-per-doc map stage would run on 1 core of 32
+    # (measured 1.19 s single-task vs 0.2 s spread). At deploy scale the
+    # file layout provides thousands of splits and the exchange (a few MB
+    # here) is dwarfed by the per-row compute it parallelizes.
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_tokens"),
@@ -364,16 +371,20 @@ def _image_decode_stats(spark, sf_dir):
     Merged (round 3, 50-query window): also block-mean-resizes every blob
     to 16x16 and decode-checks the resized output (rw/rh/rfmt/rok) — the
     round-2 image_resize_stats entry folded into the same row."""
+    # ONE linear plan: resize_images preserves its input columns, so both
+    # decode passes project from the same generation pass — the previous
+    # two-branch join re-ran the synthetic encode for every image on each
+    # side and paid a shuffle to re-pair rows it already had (1.36 s ->
+    # 0.72 s at sf0.1 local[32]).
     pages = syn.generate_pages(spark, 200, 10, with_images=True)
-    resized = im.resize_images(pages.select("image_id", "bytes"), "bytes", 16, 16)
-    rstats = resized.select(
-        "image_id", im.decode_image_stats(F.col("resized")).alias("rd")
+    withres = im.resize_images(
+        pages.select("image_id", "caption", "phash", "bytes"), "bytes", 16, 16
     )
-    base = pages.select(
+    return withres.select(
         "image_id", "caption", "phash",
         im.decode_image_stats(F.col("bytes")).alias("d"),
-    )
-    return base.join(rstats, "image_id").select(
+        im.decode_image_stats(F.col("resized")).alias("rd"),
+    ).select(
         "image_id", "caption",
         F.col("d.w").alias("w"), F.col("d.h").alias("h"),
         F.col("d.fmt").alias("fmt"), F.col("d.ok").alias("ok"),

