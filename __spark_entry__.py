@@ -60,7 +60,15 @@ _URL_SQL = (
 
 
 def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # events.parquet is one row group = ONE input split, which would run
+    # the downstream canonicalize Arrow kernel single-lane. Spread it —
+    # but only to ~10k rows/task: each mapInPandas task pays a fixed
+    # Python-runner handshake, so 32 tasks on 100k rows measured SLOWER
+    # (1.36 s) than 8 (0.85 s) or even 1 (1.14 s). At deploy scale the
+    # file layout provides splits and rows/task is far past the knee.
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(2, min(par, _t_rows(sf_dir, "events") // 10_000))
+    ev = _t(spark, sf_dir, "events").repartition(n_parts)
     return ev.select(
         "event_id",
         "user_id",
