@@ -121,22 +121,27 @@ class CrawlEngine:
         # and probes it instead of building a bitmap per wave — the 10^10
         # path. use_bloom='cuckoo' maintains a BucketedCuckooStore instead
         # (same probe/merge duck-type, lower FPR, and DELETABLE — the
-        # recrawl/retract path a Bloom bitmap cannot serve). Invariant for
-        # both: deltas merge into the store BEFORE the seen commit, so the
-        # store is always a superset of committed seen (false positives
-        # only).
+        # recrawl/retract path a Bloom bitmap cannot serve). 'auto' uses
+        # broadcast/per-wave plans while seen is small, then SELF-UPGRADES
+        # to a maintained cuckoo store the first wave after committed seen
+        # crosses fr.BROADCAST_SEEN_MAX (the measured-best at-scale path,
+        # BENCH.md), and re-adopts an existing store on resume. Invariant
+        # for every maintained mode: deltas merge into the store BEFORE
+        # the seen commit, so the store is always a superset of committed
+        # seen (false positives only).
         self.use_bloom = use_bloom
         self._bloom_store = None
-        if use_bloom in ("bucketed", "cuckoo"):
-            import os
+        import os
 
+        self._store_root = os.path.join(store.root, "bloom")
+        if use_bloom in ("bucketed", "cuckoo"):
             from literature_crawler_spark.operators import bloom as bloom_mod
             from literature_crawler_spark.operators import cuckoo as cuckoo_mod
 
             kind = bloom_mod.BucketedBloomStore if use_bloom == "bucketed" else (
                 cuckoo_mod.BucketedCuckooStore
             )
-            root = os.path.join(store.root, "bloom")
+            root = self._store_root
             self._bloom_store = kind.open(root)
             seen_latest = self.store.latest("seen")
             if self._bloom_store is None:
@@ -148,30 +153,24 @@ class CrawlEngine:
                     self._store_merge(seen.select("url_hash"))
                     self._bloom_store.set_watermark(seen_latest["id"])
             elif seen_latest is not None:
-                # staleness check: a pre-existing store BEHIND the committed
-                # seen set (e.g. interleaved runs with a different use_bloom
-                # mode) would give Bloom false negatives -> re-crawled URLs.
-                wm = self._bloom_store.watermark()
-                if wm is None or wm < seen_latest["id"]:
-                    if hasattr(self._bloom_store, "delete"):
-                        # cuckoo insert is NOT idempotent: re-merging keys
-                        # already present would ~double occupancy and trip
-                        # an overflow rebuild, and a crash loop between
-                        # merge and set_watermark would repeat that rebuild
-                        # each start. Rebuild fresh at current capacity
-                        # instead (bounded, restart-idempotent).
-                        st = self._bloom_store
-                        cap = st.bucket_rows * cuckoo_mod.SLOTS * st.n_buckets
-                        self._bloom_store = cuckoo_mod.BucketedCuckooStore.create(
-                            st.root, expected_items=cap, n_buckets=st.n_buckets
-                        )
-                    # bloom: in-place OR re-merge is idempotent; cuckoo:
-                    # merging into the fresh store (overflow-safe resize
-                    # inside _store_merge)
-                    self._store_merge(
-                        self.seen().select("url_hash").dropDuplicates(["url_hash"])
-                    )
-                    self._bloom_store.set_watermark(seen_latest["id"])
+                self._refresh_adopted_store(seen_latest)
+        elif use_bloom == "auto":
+            # A previous run (auto past the broadcast ceiling, or explicit
+            # bucketed/cuckoo) may have left a maintained store next to the
+            # state tables — adopt it so a resumed crawl keeps the
+            # fused-probe path instead of regressing to per-wave bitmaps.
+            # If nothing is committed yet the orphan is ignored; the
+            # threshold upgrade in run_wave rebuilds from scratch.
+            from literature_crawler_spark.operators import bloom as bloom_mod
+            from literature_crawler_spark.operators import cuckoo as cuckoo_mod
+
+            st = cuckoo_mod.BucketedCuckooStore.open(self._store_root)
+            if st is None:
+                st = bloom_mod.BucketedBloomStore.open(self._store_root)
+            seen_latest = self.store.latest("seen")
+            if st is not None and seen_latest is not None:
+                self._bloom_store = st
+                self._refresh_adopted_store(seen_latest)
         # Optional Arrow-UDF fetch path (operators.fetch.Fetcher): when set,
         # waves fetch via mapInPandas over salt-spread partitions (the live
         # deploy path) instead of hash-joining the pages corpus table. Both
@@ -204,6 +203,32 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------ state ----
+    def _refresh_adopted_store(self, seen_latest: dict) -> None:
+        """Staleness check for a pre-existing membership store: a store
+        BEHIND the committed seen set (e.g. interleaved runs with a
+        different use_bloom mode) would give false negatives ->
+        re-crawled URLs. Bloom stores re-merge in place (OR is
+        idempotent). Cuckoo insert is NOT idempotent: re-merging keys
+        already present would ~double occupancy and trip an overflow
+        rebuild, and a crash loop between merge and set_watermark would
+        repeat that rebuild each start — so cuckoo rebuilds fresh at
+        current capacity instead (bounded, restart-idempotent)."""
+        from literature_crawler_spark.operators import cuckoo as cuckoo_mod
+
+        wm = self._bloom_store.watermark()
+        if wm is not None and wm >= seen_latest["id"]:
+            return
+        if hasattr(self._bloom_store, "delete"):
+            st = self._bloom_store
+            cap = st.bucket_rows * cuckoo_mod.SLOTS * st.n_buckets
+            self._bloom_store = cuckoo_mod.BucketedCuckooStore.create(
+                st.root, expected_items=cap, n_buckets=st.n_buckets
+            )
+        self._store_merge(
+            self.seen().select("url_hash").dropDuplicates(["url_hash"])
+        )
+        self._bloom_store.set_watermark(seen_latest["id"])
+
     def _store_merge(self, delta: DataFrame) -> None:
         """Merge a url_hash delta into the membership store.
 
@@ -455,6 +480,31 @@ class CrawlEngine:
             F.col("page_host").alias("base_host"),
             F.posexplode("links").alias("pos", "link"),
         )
+        # auto-upgrade: once the committed seen set outgrows the broadcast
+        # anti-join (fr.BROADCAST_SEEN_MAX keys), 'auto' switches from
+        # per-wave plans to a MAINTAINED cuckoo store — the measured-best
+        # at-scale membership structure (BENCH.md: cuckoo probe 2.6-3.8M
+        # URLs/s at local[32] vs 0.6-1.7M bucketed-Bloom, ~50x lower FPR,
+        # O(1) delete for retract). Built once from committed seen, then
+        # merged incrementally per wave like the explicit modes.
+        seen_meta = self.store.latest("seen")
+        seen_total = (seen_meta or {}).get("meta", {}).get("total") or 0
+        if (
+            self.use_bloom == "auto"
+            and self._bloom_store is None
+            and seen_total > fr.BROADCAST_SEEN_MAX
+        ):
+            from literature_crawler_spark.operators import cuckoo as cuckoo_mod
+
+            self._bloom_store = cuckoo_mod.BucketedCuckooStore.create(
+                self._store_root,
+                expected_items=2 * seen_total,
+                n_buckets=self.n_buckets,
+            )
+            self._store_merge(
+                self.seen().select("url_hash").dropDuplicates(["url_hash"])
+            )
+            self._bloom_store.set_watermark(seen_meta["id"])
         # when a maintained membership store exists, the seen-probe runs
         # INSIDE the canonicalize Arrow kernel (one Python crossing for
         # canonicalize+hash+membership-test instead of two — the local-mode
@@ -474,10 +524,9 @@ class CrawlEngine:
         #    strands across waves.
         released: list[DataFrame] = []
         seen = self.seen()
-        seen_meta = self.store.latest("seen")
         new = fr.dedup_against_seen(
             self.spark, cand, seen,
-            use_bloom=True if self.use_bloom in ("bucketed", "cuckoo") else self.use_bloom,
+            use_bloom=True if self._bloom_store is not None else self.use_bloom,
             expected_seen=(seen_meta or {}).get("meta", {}).get("total"),
             bloom_store=self._bloom_store,
             released=released,

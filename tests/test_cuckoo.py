@@ -268,3 +268,48 @@ class TestEngineWiring:
         eng2.run(seeds, max_waves=3)
         want = {r.canon_url for r in eng2.seen().collect()}
         assert got == want
+
+    def test_auto_upgrades_to_cuckoo_past_broadcast_ceiling(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """use_bloom='auto' self-selects the maintained cuckoo store the
+        first wave after committed seen crosses BROADCAST_SEEN_MAX, and
+        the upgraded crawl stays order- and seen-identical to exact mode
+        — including across an engine restart (store re-adoption)."""
+        from literature_crawler_spark.operators import cuckoo as cuckoo_mod
+        from literature_crawler_spark.operators import frontier as fr
+        from literature_crawler_spark.plans.crawl import CrawlEngine
+        from literature_crawler_spark.plans.state import SnapshotStore
+        from literature_crawler_spark.sources import synthetic as syn
+
+        monkeypatch.setattr(fr, "BROADCAST_SEEN_MAX", 30)
+        pages = syn.generate_pages(spark, 300, 8, with_images=False)
+        seeds = syn.generate_seeds(spark, 25, 300, 8)
+
+        store = SnapshotStore(str(tmp_path / "auto"))
+        eng = CrawlEngine(spark, store, pages, use_bloom="auto", n_buckets=8)
+        eng.run(seeds, max_waves=2)
+        # 25 seeds + wave-1 discoveries >> 30: the store must exist now
+        assert isinstance(eng._bloom_store, cuckoo_mod.BucketedCuckooStore)
+        assert eng._bloom_store.watermark() is not None
+
+        # resume in a fresh engine: the store is re-adopted, still cuckoo
+        eng2 = CrawlEngine(spark, store, pages, use_bloom="auto", n_buckets=8)
+        assert isinstance(eng2._bloom_store, cuckoo_mod.BucketedCuckooStore)
+        eng2.run_wave(3)
+
+        exact = SnapshotStore(str(tmp_path / "exact"))
+        enge = CrawlEngine(spark, exact, pages, use_bloom=False)
+        enge.run(seeds, max_waves=3)
+        got = {r.canon_url for r in eng2.seen().collect()}
+        want = {r.canon_url for r in enge.seen().collect()}
+        assert got == want
+        got_order = [
+            (r.wave, r.seq, r.canon_url)
+            for r in eng2.crawl_order().orderBy("seq").collect()
+        ]
+        want_order = [
+            (r.wave, r.seq, r.canon_url)
+            for r in enge.crawl_order().orderBy("seq").collect()
+        ]
+        assert got_order == want_order
