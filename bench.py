@@ -342,6 +342,73 @@ def main() -> None:
     # broadcast ceiling at the driver's sf0.1/32-cpu config
     frontier_large = bench_frontier_large_seen(spark, n_urls, cpus)
     total = round(sum(timings.values()) + frontier["sec"], 3)
+    spark.stop()  # one Spark JVM at a time: the executor legs spawn their own
+
+    # North-rule N -> 4N scaling evidence, in the driver artifact itself.
+    # Two pairs, same at-scale input (seen = 2x candidates through the
+    # maintained bucketed store), each leg steal-gated in its own JVM:
+    # * core pair — local[2] -> local[8], one JVM: the stable measurement
+    #   (0.78-0.82 across every sweep this round and last);
+    # * executor pair — 1 vs 4 SEPARATE executor JVMs (local-cluster,
+    #   real inter-JVM shuffle, 2-core executors so both legs' full
+    #   footprint stays far under the box). Noisier on this shared VM
+    #   (0.54-0.81 across runs; min and median both reported) but it is
+    #   the rule's own shape and proves the per-JVM Arrow lane multiplies
+    #   out with executor count.
+    # Skippable via env; failure-tolerant so a sandbox without
+    # local-cluster still produces a bench line.
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_MULTIJVM"):
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+            )
+            from north_pair import run_leg
+
+            # fixed per-leg costs (session, store cache load, shuffle
+            # setup) distort small inputs badly — 2M URLs measured 0.18
+            # executor "efficiency" where 8M measures 0.7-0.8 on the same
+            # kernel — so the pairs always run at full size regardless of
+            # the suite's URL knob
+            mj_urls = int(os.environ.get("SPARK_GRAFT_MULTIJVM_URLS", 8_000_000))
+            c2 = run_leg(2, mj_urls, "atscale", clean_reps=3, max_attempts=8)
+            c8 = run_leg(8, mj_urls, "atscale", clean_reps=3, max_attempts=8)
+            l1 = run_leg(2, mj_urls, "atscale", master="local-cluster[1,2,4096]",
+                         clean_reps=3, max_attempts=8)
+            l4 = run_leg(8, mj_urls, "atscale", master="local-cluster[4,2,4096]",
+                         clean_reps=3, max_attempts=8)
+            def eff(num, den, key="rate"):
+                return round(num[key] / (4 * den[key]), 3)
+
+            def eff_cal(num, den, key="rate"):
+                # per-leg single-core calibration cancels host-speed drift
+                # between legs run minutes apart on this shared VM (an
+                # identical leg measured 590-744k URLs/s hours apart with
+                # clean steal both times)
+                return round(
+                    (num[key] / num["calib_loops_per_sec"])
+                    / (4 * den[key] / den["calib_loops_per_sec"]), 3
+                )
+
+            scaling = {
+                "core_pair": {
+                    "local2": c2, "local8": c8,
+                    "eff_2_to_8_cores": eff(c8, c2),
+                    "eff_2_to_8_cores_calibrated": eff_cal(c8, c2),
+                },
+                "executor_pair": {
+                    "executors_1x2": l1,
+                    "executors_4x2": l4,
+                    "eff_1_to_4_executors_median": eff(l4, l1, "rate_median"),
+                    "eff_1_to_4_executors_min": eff(l4, l1),
+                    "eff_1_to_4_executors_calibrated": eff_cal(
+                        l4, l1, "rate_median"
+                    ),
+                },
+            }
+        except Exception as e:  # never fail the bench artifact
+            scaling = {"error": str(e)[:300]}
+
     wall = time.time() - wall0
     steal_sec = (_steal_ticks() - steal0) / 100.0
     print(
@@ -355,6 +422,7 @@ def main() -> None:
                 "cpus": cpus,
                 "frontier": frontier,
                 "frontier_large_seen": frontier_large,
+                "scaling_n_to_4n": scaling,
                 "host_calibration": {
                     "single_core_loop_per_sec": calib,
                     "steal_cpu_sec_during_bench": round(steal_sec, 1),
@@ -367,7 +435,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -42,6 +42,8 @@ STEAL_FRAC_CAP = float(sys.argv[4])
 # separate worker JVMs x C cores — the in-sandbox stand-in for real
 # executors, measuring whether per-JVM Arrow lanes multiply out
 master = sys.argv[5] if len(sys.argv) > 5 else f"local[{cpus}]"
+WANT_CLEAN = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+MAX_ATTEMPTS = int(sys.argv[7]) if len(sys.argv) > 7 else 40
 extra = {}
 if master.startswith("local-cluster"):
     # executor heap = worker memory minus ~25%% headroom (the worker
@@ -95,8 +97,8 @@ def run_once():
     return time.time() - t0
 
 run_once()  # full-size JIT warmup
-best, best_frac, clean_reps, attempts = None, None, 0, 0
-while clean_reps < 3 and attempts < 40:
+best, best_frac, clean_reps, attempts, clean_times = None, None, 0, 0, []
+while clean_reps < WANT_CLEAN and attempts < MAX_ATTEMPTS:
     attempts += 1
     s0 = steal()
     dt = run_once()
@@ -108,11 +110,27 @@ while clean_reps < 3 and attempts < 40:
         time.sleep(12)  # storms last minutes: spread attempts over time
         continue
     clean_reps += 1
+    clean_times.append(dt)
 if clean_reps == 0:
     print("  WARNING: no clean rep achieved; value is steal-contaminated", flush=True)
+# median of clean reps alongside the min: scaling RATIOS need a robust
+# estimator — min systematically picks the scheduling-lucky outlier of
+# the small leg (its python workers pipeline onto the idle box's spare
+# cores), inflating the denominator of an efficiency pair
+med = sorted(clean_times)[len(clean_times) // 2] if clean_times else best
+# single-core host-speed anchor taken INSIDE the leg: identical legs of
+# one kernel measured 590-744k/s hours apart on this shared VM (clean
+# steal both times) — per-leg calibration lets a ratio cancel the drift
+_n = 6_000_000
+_t0 = time.time()
+_s = 0
+for _i in range(_n):
+    _s += _i * _i
+calib = round(_n / (time.time() - _t0))
 shutil.rmtree(store_dir, ignore_errors=True)
 print("RESULT", cpus, regime, n_urls, seen_n, round(best, 3), round(n_urls / best),
-      clean_reps, attempts, round(best_frac, 3))
+      clean_reps, attempts, round(best_frac, 3), round(med, 3), round(n_urls / med),
+      calib)
 spark.stop()
 ''' % REPO
 
@@ -123,7 +141,15 @@ def run_leg(
     regime: str,
     steal_frac_cap: float = 0.25,
     master: str | None = None,
+    clean_reps: int = 3,
+    max_attempts: int = 40,
+    pin_cpus: int | None = None,
 ) -> dict:
+    """``pin_cpus``: taskset the whole leg (JVMs + python workers) onto
+    CPUs 0..pin_cpus-1. Small legs on an idle box otherwise win the
+    placement lottery — a 2-task leg's python workers pipeline onto spare
+    cores, inflating it 20-25% run-to-run and poisoning any efficiency
+    ratio built on it. Pinning makes each leg a fixed-size "node"."""
     gc = max(2, min(cpus, 8))
     env = dict(
         os.environ,
@@ -132,9 +158,10 @@ def run_leg(
         ),
     )
     argv = [sys.executable, "-c", _LEG, str(cpus), str(n_urls), regime,
-            str(steal_frac_cap)]
-    if master is not None:
-        argv.append(master)
+            str(steal_frac_cap), master or f"local[{cpus}]",
+            str(clean_reps), str(max_attempts)]
+    if pin_cpus is not None:
+        argv = ["taskset", "-c", f"0-{pin_cpus - 1}"] + argv
     out = subprocess.run(argv, env=env, capture_output=True, text=True,
                          check=True, cwd=REPO)
     for line in out.stdout.splitlines():
@@ -146,6 +173,8 @@ def run_leg(
         "seen": int(parts[4]), "sec": float(parts[5]), "rate": int(parts[6]),
         "clean_reps": int(parts[7]), "attempts": int(parts[8]),
         "steal_frac_of_best_rep": float(parts[9]),
+        "sec_median": float(parts[10]), "rate_median": int(parts[11]),
+        "calib_loops_per_sec": int(parts[12]),
         "master": master or f"local[{cpus}]",
     }
 
