@@ -373,10 +373,15 @@ def main() -> None:
             mj_urls = int(os.environ.get("SPARK_GRAFT_MULTIJVM_URLS", 8_000_000))
             c2 = run_leg(2, mj_urls, "atscale", clean_reps=3, max_attempts=8)
             c8 = run_leg(8, mj_urls, "atscale", clean_reps=3, max_attempts=8)
+            # executor legs get 5 clean reps: their median is the reported
+            # rate, and with 3 reps a single thread-placement hiccup in one
+            # leg shifts the pair's efficiency by ~0.15 (observed 0.63 vs
+            # 0.81 across back-to-back runs); 5 reps make the median hold
+            # still at ~1 extra minute of bench time
             l1 = run_leg(2, mj_urls, "atscale", master="local-cluster[1,2,4096]",
-                         clean_reps=3, max_attempts=8)
+                         clean_reps=5, max_attempts=12)
             l4 = run_leg(8, mj_urls, "atscale", master="local-cluster[4,2,4096]",
-                         clean_reps=3, max_attempts=8)
+                         clean_reps=5, max_attempts=12)
             def eff(num, den, key="rate"):
                 return round(num[key] / (4 * den[key]), 3)
 
@@ -411,30 +416,89 @@ def main() -> None:
 
     wall = time.time() - wall0
     steal_sec = (_steal_ticks() - steal0) / 100.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_plus_frontier_kernel",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "frontier": frontier,
-                "frontier_large_seen": frontier_large,
-                "scaling_n_to_4n": scaling,
-                "host_calibration": {
-                    "single_core_loop_per_sec": calib,
-                    "steal_cpu_sec_during_bench": round(steal_sec, 1),
-                    "steal_pct_of_capacity": round(
-                        100.0 * steal_sec / (wall * (os.cpu_count() or cpus)), 2
-                    ),
-                    "steal_frac_cap": STEAL_FRAC_CAP,
-                    "queries_without_clean_rep": dirty_queries,
-                },
-            }
+    artifact = {
+        "metric": "headline_suite_plus_frontier_kernel",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "frontier": frontier,
+        "frontier_large_seen": frontier_large,
+        "scaling_n_to_4n": scaling,
+        "host_calibration": {
+            "single_core_loop_per_sec": calib,
+            "steal_cpu_sec_during_bench": round(steal_sec, 1),
+            "steal_pct_of_capacity": round(
+                100.0 * steal_sec / (wall * (os.cpu_count() or cpus)), 2
+            ),
+            "steal_frac_cap": STEAL_FRAC_CAP,
+            "bench_wall_sec": round(wall, 1),
+            "queries_without_clean_rep": dirty_queries,
+        },
+    }
+    # Full detail (per-leg sec/attempts/calibration, per-path steal
+    # fractions) goes to a repo file; stdout carries a COMPACT line. The
+    # round-3 driver recorded only a 2000-char tail of stdout — a JSON
+    # line longer than that risks truncating the round's entire bench
+    # record, so the printed line elides nested diagnostics and points at
+    # the file (r3's line was 1079 chars; the full round-4 artifact is
+    # ~3.5k).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(artifact, f, indent=1)
+    except OSError:
+        pass
+
+    def _slim_frontier(d: dict) -> dict:
+        keep = (
+            "n_urls", "seen_size", "sec", "urls_per_sec",
+            "bloom_path_urls_per_sec", "bucketed_bloom_path_urls_per_sec",
+            "broadcast_path_urls_per_sec", "bucketed_bloom_urls_per_sec",
+            "cuckoo_urls_per_sec", "shuffle_antijoin_urls_per_sec",
         )
-    )
+        out = {k: d[k] for k in keep if k in d}
+        out["max_steal_frac"] = max(d["steal_frac"].values())
+        out["min_clean_reps"] = min(d["clean_reps"].values())
+        return out
+
+    def _slim_scaling(s: dict | None) -> dict | None:
+        # throughput at both parallelism levels + efficiency (the north
+        # rule's exact ask), median-of-clean-reps rates; per-leg sec /
+        # attempts / min-rate / calibration live in BENCH_FULL.json
+        if not s or "error" in s:
+            return s
+        cp, ep = s["core_pair"], s["executor_pair"]
+        clean = min(
+            d["clean_reps"]
+            for d in (cp["local2"], cp["local8"],
+                      ep["executors_1x2"], ep["executors_4x2"])
+        )
+        return {
+            "n_urls": cp["local2"]["n_urls"],
+            "seen": cp["local2"]["seen"],
+            "min_clean_reps": clean,
+            "core_pair": {
+                "rate_local2": cp["local2"]["rate_median"],
+                "rate_local8": cp["local8"]["rate_median"],
+                "eff_2_to_8_cores": cp["eff_2_to_8_cores"],
+                "eff_calibrated": cp["eff_2_to_8_cores_calibrated"],
+            },
+            "executor_pair": {
+                "rate_1x2": ep["executors_1x2"]["rate_median"],
+                "rate_4x2": ep["executors_4x2"]["rate_median"],
+                "eff_1_to_4_executors": ep["eff_1_to_4_executors_median"],
+                "eff_calibrated": ep["eff_1_to_4_executors_calibrated"],
+            },
+        }
+
+    compact = dict(artifact)
+    compact["frontier"] = _slim_frontier(frontier)
+    compact["frontier_large_seen"] = _slim_frontier(frontier_large)
+    compact["scaling_n_to_4n"] = _slim_scaling(scaling)
+    compact["full_detail"] = "BENCH_FULL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
