@@ -68,7 +68,12 @@ def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file layout provides splits and rows/task is far past the knee.
     par = spark.sparkContext.defaultParallelism
     n_parts = max(2, min(par, _t_rows(sf_dir, "events") // 10_000))
-    ev = _t(spark, sf_dir, "events").repartition(n_parts)
+    ev = _t(spark, sf_dir, "events")
+    # only exchange when the scan is actually under-split (the fixture
+    # case); a deploy-scale table already has >= n_parts file splits and
+    # must not be coalesced down to ~cores partitions through a shuffle
+    if ev.rdd.getNumPartitions() < n_parts:
+        ev = ev.repartition(n_parts)
     return ev.select(
         "event_id",
         "user_id",
@@ -292,9 +297,11 @@ def _doc_token_stats(spark, sf_dir):
     # (measured 1.19 s single-task vs 0.2 s spread). At deploy scale the
     # file layout provides thousands of splits and the exchange (a few MB
     # here) is dwarfed by the per-row compute it parallelizes.
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _t(spark, sf_dir, "documents")
+    # exchange only when the scan is under-split (fixture = 1 row group);
+    # a deploy-scale table already has enough file splits
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_tokens"),
@@ -702,7 +709,10 @@ def _publish_figure_list(spark, sf_dir):
         F.lit(None).cast("string").alias("description"),
         F.lit(None).cast("string").alias("preview_oss_path"),
     )
-    merged = pub.merge_figure_list(existing, fresh, conflict_strategy="update")
+    merged = pub.merge_figure_list(
+        existing, fresh, conflict_strategy="update",
+        refreshed=fresh_docs.select(doi.alias("doi")),
+    )
     return merged.select(
         "literature_id", "doi", "step_idx", "fig_idx", "oss_path", "description"
     )

@@ -88,17 +88,26 @@ def steal_gated_best(
     back clean the best dirty rep is returned with its (high) steal
     fraction recorded — contamination stays visible, never silent."""
     best, best_frac, clean, attempts = None, None, 0, 0
+    dirty_best, dirty_frac = None, None
     while clean < clean_reps and attempts < max_attempts:
         attempts += 1
         s0 = _steal_ticks()
         dt = fn()
         frac = (_steal_ticks() - s0) / 100.0 / (dt * cpus)
-        if best is None or dt < best:
-            best, best_frac = dt, frac
         if frac > STEAL_FRAC_CAP:
+            # dirty reps NEVER set the reported best (a contaminated rep
+            # can undercut slow-but-clean ones, making clean_reps>0 lie
+            # about the number's provenance); kept only as the all-dirty
+            # fallback
+            if dirty_best is None or dt < dirty_best:
+                dirty_best, dirty_frac = dt, frac
             time.sleep(sleep_s)  # storms last minutes: spread attempts out
             continue
         clean += 1
+        if best is None or dt < best:
+            best, best_frac = dt, frac
+    if best is None:
+        return dirty_best, dirty_frac, clean, attempts
     return best, best_frac, clean, attempts
 
 

@@ -40,6 +40,19 @@ def _rotl(x: np.ndarray, r: int) -> np.ndarray:
     return (x << r) | (x >> (np.uint64(64) - r))
 
 
+# Padded-matrix budget per dense sub-batch. The dense kernel allocates
+# (n_rows, padded_max_len) — without a cap, ONE pathological row (a ~1 MB
+# data:/javascript: pseudo-URL in a 10k-row Arrow batch) would densify to
+# ~10 GB and OOM the Python worker. Rows are length-sorted and chunked so
+# each chunk's matrix stays under this budget; typical URL batches
+# (10k x ~160 B padded ~= 1.6 MB) take the single-chunk fast path.
+_DENSE_BYTES_CAP = 1 << 26  # 64 MiB
+
+
+def _pad32(length: int) -> int:
+    return max(((int(length) + 31) // 32) * 32, 32)
+
+
 def xxhash64_concat(data: np.ndarray, offsets: np.ndarray, seed: int = 42) -> np.ndarray:
     """XXH64 of each slice ``data[offsets[i]:offsets[i+1]]`` (uint8 bytes).
 
@@ -47,17 +60,48 @@ def xxhash64_concat(data: np.ndarray, offsets: np.ndarray, seed: int = 42) -> np
     Returns int64 (Spark's signed view of the hash). Fully vectorized:
     strings are scattered into a zero-padded (n, width) matrix and every
     XXH64 step runs as masked lane ops across the whole batch — the loop
-    counts are bounded by max_len/8, not by n.
+    counts are bounded by max_len/8, not by n. Memory is bounded by
+    ``_DENSE_BYTES_CAP``: when one long outlier would blow up the padded
+    matrix, rows are length-sorted and hashed in width-homogeneous chunks.
     """
+    offsets = offsets.astype(np.int64, copy=False)
+    n = len(offsets) - 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.diff(offsets)
+    if n * _pad32(lens.max()) <= _DENSE_BYTES_CAP:
+        return _xxh64_dense(data, offsets, lens, seed)
+    # slow path: length-sort, chunk so each chunk's (rows x padded-max)
+    # matrix fits the budget, hash each chunk densely, scatter back
+    order = np.argsort(lens, kind="stable")
+    out = np.empty(n, dtype=np.int64)
+    start = 0
+    while start < n:
+        end = start + 1
+        while (
+            end < n
+            and (end - start + 1) * _pad32(lens[order[end]]) <= _DENSE_BYTES_CAP
+        ):
+            end += 1
+        idx = order[start:end]
+        sub_lens = lens[idx]
+        sub_off = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(sub_lens, out=sub_off[1:])
+        gather = np.repeat(offsets[:-1][idx], sub_lens) + (
+            np.arange(sub_off[-1], dtype=np.int64) - np.repeat(sub_off[:-1], sub_lens)
+        )
+        out[idx] = _xxh64_dense(data[gather], sub_off, sub_lens, seed)
+        start = end
+    return out
+
+
+def _xxh64_dense(
+    data: np.ndarray, offsets: np.ndarray, lens: np.ndarray, seed: int
+) -> np.ndarray:
     old = np.seterr(over="ignore")
     try:
-        offsets = offsets.astype(np.int64, copy=False)
         n = len(offsets) - 1
-        if n <= 0:
-            return np.empty(0, dtype=np.int64)
-        lens = np.diff(offsets)
-        maxlen = int(lens.max())
-        width = max(((maxlen + 31) // 32) * 32, 32)
+        width = _pad32(lens.max())
         buf = np.zeros((n, width), dtype=np.uint8)
         if len(data):
             # scatter each string's bytes to the start of its padded row

@@ -317,20 +317,19 @@ def dedup_against_seen(
     r02 item 3). If None, the cache is left to Spark's LRU eviction.
     """
     premarked = "_maybe_seen" in candidates.columns
+    unmarked = candidates.drop("_maybe_seen") if premarked else candidates
     if seen is None:
-        return candidates.drop("_maybe_seen") if premarked else candidates
+        return unmarked
     seen_keys = seen.select("url_hash")
     n = expected_seen if expected_seen is not None else seen_keys.count()
     if n == 0:
-        return candidates.drop("_maybe_seen") if premarked else candidates
+        return unmarked
     if use_bloom == "auto":
         if n <= BROADCAST_SEEN_MAX and bloom_store is None and not premarked:
             return candidates.join(F.broadcast(seen_keys), "url_hash", "left_anti")
         use_bloom = True
     if not use_bloom:
-        return candidates.drop("_maybe_seen").join(
-            seen_keys, "url_hash", "left_anti"
-        ) if premarked else candidates.join(seen_keys, "url_hash", "left_anti")
+        return unmarked.join(seen_keys, "url_hash", "left_anti")
     if premarked:
         # candidates came out of the FUSED canonicalize kernel
         # (canonicalize_candidates(probe_store=...)): the membership test

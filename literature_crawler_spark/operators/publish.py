@@ -161,8 +161,11 @@ def publish_literature(
 # BeautifulSoup; the fixture/publish HTML this engine emits (and the
 # protocols.io content it mirrors) uses double-quoted attributes, which
 # this regex form covers — a src-less <img> (which would crash the
-# reference's ``oss_path.replace``) is dropped instead.
-_IMG_TAG_RX = r"(?i)<img\b[^>]*>"
+# reference's ``oss_path.replace``) is dropped instead. The tag body
+# alternation consumes double-quoted values atomically so a literal '>'
+# inside an attribute (valid HTML, e.g. title="fig > 2") does not
+# truncate the tag the way a plain [^>]* would.
+_IMG_TAG_RX = r'(?i)<img\b(?:[^>"]|"[^"]*")*>'
 _SRC_RX = r'(?i)\bsrc\s*=\s*"([^"]*)"'
 _TITLE_RX = r'(?i)\btitle\s*=\s*"([^"]*)"'
 
@@ -221,15 +224,26 @@ def merge_figure_list(
     fresh: DataFrame,
     conflict_strategy: str = "insert",
     key: str = "doi",
+    refreshed: DataFrame | None = None,
+    published: DataFrame | None = None,
 ) -> DataFrame:
     """Figure-list conflict handling as set operations — the reference's
     per-doc branch
     (``protocol_io_update_figure_list.py:63-`` ``update_figure_list``):
 
-    * ``'skip'``   — a document that already has figure rows keeps them;
-      fresh rows land only for documents with none;
+    * ``'skip'``   — a document already published keeps its rows; fresh
+      rows land only for new documents. ``published`` (a ``key`` column of
+      the literature table) is the reference's existence check
+      (``query_row`` on the literature table); when absent, documents
+      with existing figure rows are used as the proxy;
     * ``'update'`` — delete-then-reinsert per document (``delete_figure_list``
-      + ``insert_figure_list``): existing rows for refreshed documents drop;
+      + ``insert_figure_list``): existing rows for every document in the
+      refresh batch drop, INCLUDING documents whose new content yields
+      zero figures (the reference deletes unconditionally, then inserts
+      whatever the parse found). Pass ``refreshed`` (a ``key`` column of
+      the documents being reprocessed) to convey that set; when absent
+      the keys present in ``fresh`` are used, which cannot clear a
+      refreshed document down to zero figures;
     * ``'insert'`` — unconditional append (the reference's else branch).
 
     Anti-joins on the document key replace the reference's per-doc
@@ -239,9 +253,11 @@ def merge_figure_list(
     if existing is None:
         return fresh
     if conflict_strategy == "skip":
-        keep_fresh = fresh.join(existing.select(key).distinct(), key, "left_anti")
+        have = (published if published is not None else existing).select(key).distinct()
+        keep_fresh = fresh.join(have, key, "left_anti")
         return existing.unionByName(keep_fresh)
     if conflict_strategy == "update":
-        keep_existing = existing.join(fresh.select(key).distinct(), key, "left_anti")
+        drop = (refreshed if refreshed is not None else fresh).select(key).distinct()
+        keep_existing = existing.join(drop, key, "left_anti")
         return keep_existing.unionByName(fresh)
     return existing.unionByName(fresh)

@@ -218,15 +218,24 @@ class CrawlEngine:
         wm = self._bloom_store.watermark()
         if wm is not None and wm >= seen_latest["id"]:
             return
+        keys = self.seen().select("url_hash").dropDuplicates(["url_hash"])
         if hasattr(self._bloom_store, "delete"):
+            # Size the rebuild from the ACTUAL key count (we scan seen for
+            # the merge anyway) — sizing from slot capacity is not a fixed
+            # point of rows_for (1024-row buckets re-create as 2048), so
+            # repeated adoptions would double the table every restart with
+            # zero key growth. One count() here is engine-init only, never
+            # per-wave; bucket-skew overflow still grows via _store_merge.
             st = self._bloom_store
-            cap = st.bucket_rows * cuckoo_mod.SLOTS * st.n_buckets
+            keys = keys.persist()
+            n_keys = keys.count()
             self._bloom_store = cuckoo_mod.BucketedCuckooStore.create(
-                st.root, expected_items=cap, n_buckets=st.n_buckets
+                st.root, expected_items=max(n_keys, 1), n_buckets=st.n_buckets
             )
-        self._store_merge(
-            self.seen().select("url_hash").dropDuplicates(["url_hash"])
-        )
+            self._store_merge(keys)
+            keys.unpersist()
+        else:
+            self._store_merge(keys)
         self._bloom_store.set_watermark(seen_latest["id"])
 
     def _store_merge(self, delta: DataFrame) -> None:

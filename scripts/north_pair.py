@@ -98,20 +98,27 @@ def run_once():
 
 run_once()  # full-size JIT warmup
 best, best_frac, clean_reps, attempts, clean_times = None, None, 0, 0, []
+dirty_best, dirty_frac = None, None
 while clean_reps < WANT_CLEAN and attempts < MAX_ATTEMPTS:
     attempts += 1
     s0 = steal()
     dt = run_once()
     frac = (steal() - s0) / 100.0 / (dt * cpus)
-    if best is None or dt < best:
-        best, best_frac = dt, frac  # keep the best rep either way
     if frac > STEAL_FRAC_CAP:
+        # dirty reps never set the reported best: a contaminated rep can
+        # undercut slow-but-clean ones, making clean_reps>0 lie about the
+        # number's provenance; kept only as the all-dirty fallback
+        if dirty_best is None or dt < dirty_best:
+            dirty_best, dirty_frac = dt, frac
         print(f"  dirty rep ({frac:.0%%} of leg core-sec stolen), retrying", flush=True)
         time.sleep(12)  # storms last minutes: spread attempts over time
         continue
     clean_reps += 1
     clean_times.append(dt)
+    if best is None or dt < best:
+        best, best_frac = dt, frac
 if clean_reps == 0:
+    best, best_frac = dirty_best, dirty_frac
     print("  WARNING: no clean rep achieved; value is steal-contaminated", flush=True)
 # median of clean reps alongside the min: scaling RATIOS need a robust
 # estimator — min systematically picks the scheduling-lucky outlier of

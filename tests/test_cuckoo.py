@@ -269,6 +269,40 @@ class TestEngineWiring:
         want = {r.canon_url for r in eng2.seen().collect()}
         assert got == want
 
+    def test_adoption_refresh_capacity_is_bounded(self, spark, tmp_path):
+        """A stale store (watermark behind committed seen, e.g. runs
+        alternating use_bloom modes) rebuilds on adoption. The rebuild
+        must size from the ACTUAL key count — slot capacity is not a
+        fixed point of rows_for, so sizing from it doubled the table on
+        every restart with zero key growth."""
+        from pyspark.sql import functions as F
+
+        from literature_crawler_spark.plans.crawl import CrawlEngine
+        from literature_crawler_spark.plans.state import SnapshotStore
+        from literature_crawler_spark.sources import synthetic as syn
+
+        pages = syn.generate_pages(spark, 200, 6, with_images=False)
+        seeds = syn.generate_seeds(spark, 15, 200, 6)
+        store = SnapshotStore(str(tmp_path / "alt"))
+        eng = CrawlEngine(spark, store, pages, use_bloom="cuckoo", n_buckets=8)
+        eng.run(seeds, max_waves=2)
+        rows0 = eng._bloom_store.bucket_rows
+        sizes = []
+        for _ in range(4):
+            eng._bloom_store.set_watermark(-1)  # force the refresh path
+            eng = CrawlEngine(spark, store, pages, use_bloom="cuckoo", n_buckets=8)
+            sizes.append(eng._bloom_store.bucket_rows)
+        assert set(sizes) == {sizes[0]}, f"capacity drifted across refreshes: {sizes}"
+        assert sizes[0] <= rows0
+        # superset invariant survives the rebuilds: every seen key probes true
+        miss = (
+            eng.seen()
+            .withColumn("h", eng._bloom_store.might_contain_col(F.col("url_hash")))
+            .filter(~F.col("h"))
+            .count()
+        )
+        assert miss == 0
+
     def test_auto_upgrades_to_cuckoo_past_broadcast_ceiling(
         self, spark, tmp_path, monkeypatch
     ):

@@ -60,6 +60,33 @@ def test_sliced_arrow_array():
     np.testing.assert_array_equal(sl, full[50:150])
 
 
+def test_length_outlier_takes_chunked_path(monkeypatch):
+    """One pathological long row must not densify the whole batch to
+    O(rows x longest): with the budget capped, the length-sorted chunked
+    path engages and stays bit-identical to the single-chunk result."""
+    rng = random.Random(11)
+    vals = [
+        "".join(rng.choice(string.ascii_letters) for _ in range(rng.randint(0, 90)))
+        for _ in range(500)
+    ]
+    vals[123] = "javascript:" + "x" * 20000  # the outlier
+    vals[401] = "data:text/plain," + "y" * 7777
+    arr = pa.array(vals, type=pa.string())
+    want = npxxhash.xxhash64_arrow(arr)  # real cap: single dense chunk
+    monkeypatch.setattr(npxxhash, "_DENSE_BYTES_CAP", 4096)
+    got = npxxhash.xxhash64_arrow(arr)  # forced multi-chunk
+    np.testing.assert_array_equal(got, want)
+    # and the outlier batch under the REAL cap must stay bounded: the
+    # padded matrix for the worst chunk is <= cap, not rows x 20k
+    monkeypatch.setattr(npxxhash, "_DENSE_BYTES_CAP", 1 << 26)
+    big = pa.array(["u" * 1_000_000] + ["short"] * 9999, type=pa.string())
+    np.testing.assert_array_equal(
+        npxxhash.xxhash64_arrow(big)[1:], np.full(9999, npxxhash.xxhash64_arrow(
+            pa.array(["short"])
+        )[0]),
+    )
+
+
 def test_chunked_and_large_string():
     vals = ["alpha", "", "beta-gamma", "δ"]
     plain = npxxhash.xxhash64_arrow(pa.array(vals, type=pa.string()))

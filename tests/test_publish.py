@@ -189,3 +189,47 @@ def test_merge_figure_list_strategies(spark):
     assert ins.count() == 5
     # no existing set at all
     assert pb.merge_figure_list(None, fresh, "update").count() == 3
+
+
+def test_merge_update_clears_docs_refreshed_to_zero_figures(spark):
+    """The reference deletes unconditionally then reinserts whatever the
+    parse found — a refreshed doc whose new content has no <img> must end
+    with ZERO figure rows, which requires the refreshed-key set to be
+    passed explicitly (fresh alone cannot name figure-less docs)."""
+    fresh = pb.extract_figure_list(_steps(spark))
+    existing = spark.createDataFrame(
+        [
+            # doc 10.1/b is in the refresh batch but extracts no figures
+            (11, "10.1/b", -1, 0, "stale/b.png", None, None),
+            (99, "10.9/z", -1, 0, "keep/z.png", None, None),
+        ],
+        "literature_id long, doi string, step_idx int, fig_idx int,"
+        " oss_path string, description string, preview_oss_path string",
+    )
+    refreshed = spark.createDataFrame([("10.1/a",), ("10.1/b",)], "doi string")
+    upd = pb.merge_figure_list(existing, fresh, "update", refreshed=refreshed)
+    paths = sorted(r.oss_path for r in upd.collect())
+    # stale/b.png deleted (refreshed to zero figures); untouched doc kept
+    assert paths == ["f/a0.png", "f/a1.png", "https://cdn.other/b.jpg", "keep/z.png"]
+    # skip with an explicit published set: doc 10.1/a is published, so all
+    # its fresh rows are skipped even though it has no existing FIGURE rows
+    # (the proxy keying off figure rows would have let them through)
+    published = spark.createDataFrame([("10.1/a",), ("10.9/z",)], "doi string")
+    skip = pb.merge_figure_list(existing, fresh, "skip", published=published)
+    assert sorted(r.oss_path for r in skip.collect()) == ["keep/z.png", "stale/b.png"]
+
+
+def test_img_tag_with_gt_inside_quoted_attribute(spark):
+    """'>' inside a double-quoted attribute value is valid HTML the
+    reference's BeautifulSoup handles; the tag regex must not truncate
+    there (losing the title or, for '>' in src, the whole row)."""
+    df = spark.createDataFrame(
+        [(1, "10.1/g", 0,
+          '<img src="https://static.yanyin.tech/g.png" title="fig > 2">'
+          '<img title="a>b" src="https://static.yanyin.tech/h.png">')],
+        "literature_id long, doi string, step_idx int, data string",
+    )
+    out = pb.extract_figure_list(df).orderBy("fig_idx").collect()
+    assert [(r.oss_path, r.description) for r in out] == [
+        ("g.png", "fig > 2"), ("h.png", "a>b"),
+    ]
