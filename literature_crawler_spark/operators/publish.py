@@ -158,16 +158,32 @@ def publish_literature(
 
 
 # img-tag grammar for the figure-list rebuild. The reference parses with
-# BeautifulSoup; the fixture/publish HTML this engine emits (and the
-# protocols.io content it mirrors) uses double-quoted attributes, which
-# this regex form covers — a src-less <img> (which would crash the
-# reference's ``oss_path.replace``) is dropped instead. The tag body
-# alternation consumes double-quoted values atomically so a literal '>'
-# inside an attribute (valid HTML, e.g. title="fig > 2") does not
-# truncate the tag the way a plain [^>]* would.
-_IMG_TAG_RX = r'(?i)<img\b(?:[^>"]|"[^"]*")*>'
-_SRC_RX = r'(?i)\bsrc\s*=\s*"([^"]*)"'
-_TITLE_RX = r'(?i)\btitle\s*=\s*"([^"]*)"'
+# BeautifulSoup; this regex form covers the quoting HTML actually allows
+# (double-quoted, single-quoted, unquoted attribute values) — a src-less
+# <img> (which would crash the reference's ``oss_path.replace``) is
+# dropped instead. The tag body alternation consumes quoted values
+# atomically so a literal '>' inside an attribute (valid HTML, e.g.
+# title="fig > 2") does not truncate the tag the way a plain [^>]* would;
+# (?![\w-]) keeps custom elements like <img-lazy> from matching.
+_IMG_TAG_RX = r"(?i)<img(?![\w-])(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+
+
+def _attr_value(col: Column, name: str) -> Column:
+    """First value of attribute ``name`` inside a tag string, NULL when
+    absent — BeautifulSoup's ``tag.get(name)``. Handles double-quoted,
+    single-quoted, and unquoted values; the (?<![\\w-]) lookbehind keeps
+    ``data-src``/``data-title`` (lazy-load markup) from shadowing the real
+    attribute, which a bare \\b boundary would allow ('-' is a non-word
+    char). An empty value reads as NULL (the caller drops those rows
+    either way)."""
+    dq = F.regexp_extract(col, rf'(?i)(?<![\w-]){name}\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(col, rf"(?i)(?<![\w-]){name}\s*=\s*'([^']*)'", 1)
+    uq = F.regexp_extract(
+        col, rf"""(?i)(?<![\w-]){name}\s*=\s*([^\s"'>][^\s>]*)""", 1
+    )
+    return F.coalesce(
+        F.nullif(dq, F.lit("")), F.nullif(sq, F.lit("")), F.nullif(uq, F.lit(""))
+    )
 
 
 def extract_figure_list(
@@ -204,16 +220,13 @@ def extract_figure_list(
             F.regexp_extract_all(F.col(data_col), F.lit(_IMG_TAG_RX), F.lit(0))
         ).alias("fig_idx", "_img"),
     )
-    src = F.regexp_extract(F.col("_img"), _SRC_RX, 1)
+    src = _attr_value(F.col("_img"), "src")
     return (
         tags.withColumn("_src", src)
-        .filter(F.col("_src") != "")
+        .filter(F.col("_src").isNotNull())
         .withColumn("oss_path", F.replace(F.col("_src"), F.lit(static_prefix), F.lit("")))
         .filter(~F.col("oss_path").contains(";base64"))
-        .withColumn(
-            "description",
-            F.nullif(F.regexp_extract(F.col("_img"), _TITLE_RX, 1), F.lit("")),
-        )
+        .withColumn("description", _attr_value(F.col("_img"), "title"))
         .withColumn("preview_oss_path", F.lit(None).cast("string"))
         .drop("_img", "_src")
     )

@@ -89,8 +89,10 @@ class SnapshotStore:
         ``mode='merge'`` requires ``merge_key``: the snapshot carries only
         changed/new rows; readers reconcile by key, last snapshot wins.
         """
-        assert mode in ("append", "replace", "merge")
-        assert (merge_key is not None) == (mode == "merge")
+        if mode not in ("append", "replace", "merge"):
+            raise ValueError(f"unknown snapshot mode {mode!r}")
+        if (merge_key is not None) != (mode == "merge"):
+            raise ValueError("merge_key is required iff mode='merge'")
         prev = self.latest(table)
         sid = (prev["id"] + 1) if prev else 0
         data_dir = self._sdir(table, sid)
@@ -146,10 +148,13 @@ class SnapshotStore:
         tail = upto if base_idx is None else upto[base_idx:]
         # a merge delta in the tail of an append-head table would be
         # silently dropped here — fail loudly instead, mirroring
-        # _read_merged's append/merge-mixing guard
-        assert all(m["mode"] in ("append", "replace") for m in tail), (
-            f"table {table}: merge snapshots cannot mix with an append head"
-        )
+        # _read_merged's append/merge-mixing guard (a real raise, not an
+        # assert: python -O must not turn the guard into silent
+        # row-resurrection)
+        if any(m["mode"] not in ("append", "replace") for m in tail):
+            raise ValueError(
+                f"table {table}: merge snapshots cannot mix with an append head"
+            )
         dirs = [self._sdir(table, m["id"]) for m in tail]
         return spark.read.parquet(*dirs)
 
@@ -165,9 +170,10 @@ class SnapshotStore:
         key = next(m["merge_key"] for m in reversed(relevant) if m["mode"] == "merge")
         parts = []
         for m in relevant:
-            assert m["mode"] in ("replace", "merge"), (
-                f"table {table}: append snapshots cannot mix with merge"
-            )
+            if m["mode"] not in ("replace", "merge"):
+                raise ValueError(
+                    f"table {table}: append snapshots cannot mix with merge"
+                )
             parts.append(
                 spark.read.parquet(self._sdir(table, m["id"])).withColumn(
                     "_sid", F.lit(m["id"])

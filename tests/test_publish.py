@@ -233,3 +233,34 @@ def test_img_tag_with_gt_inside_quoted_attribute(spark):
     assert [(r.oss_path, r.description) for r in out] == [
         ("g.png", "fig > 2"), ("h.png", "a>b"),
     ]
+
+
+def test_attr_grammar_quoting_and_data_prefix(spark):
+    """BeautifulSoup parity cases the old double-quote-only grammar lost:
+    single-quoted src, unquoted src, and lazy-load data-src/data-title
+    shadowing the real attributes."""
+    df = spark.createDataFrame(
+        [
+            (1, "10.2/q", 0,
+             "<img src='https://static.yanyin.tech/sq.png' title='single'>"),
+            (2, "10.2/u", 0, "<img src=uq.png>"),
+            (3, "10.2/d", 0,
+             '<img data-src="lazy.png" src="https://static.yanyin.tech/'
+             'real.png" data-title="wrong" title="right">'),
+            (4, "10.2/m", 0,
+             "<img data-src='l2.png' src=plain.png title=\"mixed\">"),
+            (5, "10.2/n", 0, '<img data-src="only-lazy.png">'),  # no real src
+        ],
+        "literature_id long, doi string, step_idx int, data string",
+    )
+    out = {
+        r.doi: (r.oss_path, r.description)
+        for r in pb.extract_figure_list(df).collect()
+    }
+    assert out == {
+        "10.2/q": ("sq.png", "single"),
+        "10.2/u": ("uq.png", None),
+        "10.2/d": ("real.png", "right"),
+        "10.2/m": ("plain.png", "mixed"),
+        # 10.2/n dropped: data-src is not src
+    }
