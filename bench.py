@@ -200,6 +200,11 @@ def bench_frontier(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
         spark.catalog.clearCache()
         seen.persist().count()
 
+    # 'auto' resolves to the exact broadcast anti-join only under the
+    # ceiling; past it (e.g. a larger SPARK_GRAFT_BENCH_URLS) it falls
+    # through to the ad-hoc bloom path — record which plan was measured so
+    # the key never claims a broadcast that didn't happen
+    auto_is_broadcast = seen_n <= fr.BROADCAST_SEEN_MAX
     t_bcast = timed("auto")
     repin()
     t_bloom = timed(True)
@@ -224,7 +229,11 @@ def bench_frontier(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
         "urls_per_sec": round(n_urls / best),
         "bloom_path_urls_per_sec": round(n_urls / t_bloom[0]),
         "bucketed_bloom_path_urls_per_sec": round(n_urls / t_bucketed[0]),
-        "broadcast_path_urls_per_sec": round(n_urls / t_bcast[0]),
+        (
+            "broadcast_path_urls_per_sec"
+            if auto_is_broadcast
+            else "auto_adhoc_bloom_path_urls_per_sec"
+        ): round(n_urls / t_bcast[0]),
         "steal_frac": {
             "broadcast": round(t_bcast[1], 3),
             "bloom": round(t_bloom[1], 3),
@@ -355,15 +364,18 @@ def main() -> None:
 
     # North-rule N -> 4N scaling evidence, in the driver artifact itself.
     # Two pairs, same at-scale input (seen = 2x candidates through the
-    # maintained bucketed store), each leg steal-gated in its own JVM:
-    # * core pair — local[2] -> local[8], one JVM: the stable measurement
-    #   (0.78-0.82 across every sweep this round and last);
+    # maintained bucketed store), each pair measured INTERLEAVED — both
+    # legs' JVMs stay alive and each round runs one rep on the small leg
+    # then one on the large (never concurrent), so the round's efficiency
+    # ratio samples one host window. Sequential legs run minutes apart
+    # drifted with host speed (0.69 vs 0.91 for the same kernel across
+    # back-to-back runs — drift the steal counter never sees); the paired
+    # median-of-per-round-ratios is the headline efficiency.
+    # * core pair — local[2] -> local[8], one JVM each;
     # * executor pair — 1 vs 4 SEPARATE executor JVMs (local-cluster,
-    #   real inter-JVM shuffle, 2-core executors so both legs' full
-    #   footprint stays far under the box). Noisier on this shared VM
-    #   (0.54-0.81 across runs; min and median both reported) but it is
-    #   the rule's own shape and proves the per-JVM Arrow lane multiplies
-    #   out with executor count.
+    #   real inter-JVM shuffle, 2-core executors so even both pairs'
+    #   combined footprint stays far under the box) — the rule's own
+    #   shape: the per-JVM Arrow lane multiplies out with executor count.
     # Skippable via env; failure-tolerant so a sandbox without
     # local-cluster still produces a bench line.
     scaling = None
@@ -372,7 +384,7 @@ def main() -> None:
             sys.path.insert(
                 0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
             )
-            from north_pair import run_leg
+            from north_pair import run_pair
 
             # fixed per-leg costs (session, store cache load, shuffle
             # setup) distort small inputs badly — 2M URLs measured 0.18
@@ -380,45 +392,48 @@ def main() -> None:
             # kernel — so the pairs always run at full size regardless of
             # the suite's URL knob
             mj_urls = int(os.environ.get("SPARK_GRAFT_MULTIJVM_URLS", 8_000_000))
-            c2 = run_leg(2, mj_urls, "atscale", clean_reps=3, max_attempts=8)
-            c8 = run_leg(8, mj_urls, "atscale", clean_reps=3, max_attempts=8)
-            # executor legs get 5 clean reps: their median is the reported
-            # rate, and with 3 reps a single thread-placement hiccup in one
-            # leg shifts the pair's efficiency by ~0.15 (observed 0.63 vs
-            # 0.81 across back-to-back runs); 5 reps make the median hold
-            # still at ~1 extra minute of bench time
-            l1 = run_leg(2, mj_urls, "atscale", master="local-cluster[1,2,4096]",
-                         clean_reps=5, max_attempts=12)
-            l4 = run_leg(8, mj_urls, "atscale", master="local-cluster[4,2,4096]",
-                         clean_reps=5, max_attempts=12)
+            core = run_pair((2, None), (8, None), mj_urls,
+                            want_clean=5, max_rounds=14)
+            execp = run_pair(
+                (2, "local-cluster[1,2,4096]"), (8, "local-cluster[4,2,4096]"),
+                mj_urls, want_clean=5, max_rounds=14,
+            )
+
             def eff(num, den, key="rate"):
                 return round(num[key] / (4 * den[key]), 3)
 
             def eff_cal(num, den, key="rate"):
-                # per-leg single-core calibration cancels host-speed drift
-                # between legs run minutes apart on this shared VM (an
-                # identical leg measured 590-744k URLs/s hours apart with
-                # clean steal both times)
+                # per-leg single-core calibration cancels residual
+                # host-speed drift (secondary check on the paired number)
                 return round(
                     (num[key] / num["calib_loops_per_sec"])
                     / (4 * den[key] / den["calib_loops_per_sec"]), 3
                 )
 
-            scaling = {
-                "core_pair": {
-                    "local2": c2, "local8": c8,
-                    "eff_2_to_8_cores": eff(c8, c2),
-                    "eff_2_to_8_cores_calibrated": eff_cal(c8, c2),
-                },
-                "executor_pair": {
-                    "executors_1x2": l1,
-                    "executors_4x2": l4,
-                    "eff_1_to_4_executors_median": eff(l4, l1, "rate_median"),
-                    "eff_1_to_4_executors_min": eff(l4, l1),
-                    "eff_1_to_4_executors_calibrated": eff_cal(
-                        l4, l1, "rate_median"
+            def pair_block(p, names):
+                small, large = p["small"], p["large"]
+                return {
+                    names[0]: small, names[1]: large,
+                    "rounds": p["rounds"],
+                    "all_rounds_dirty": p["all_rounds_dirty"],
+                    # paired = median over clean rounds of
+                    # rate_large_i / (4 * rate_small_i); the aggregate
+                    # median/min variants stay for cross-checking
+                    f"eff_{names[2]}_paired": p["eff_paired_median"],
+                    f"eff_{names[2]}_median": eff(large, small, "rate_median"),
+                    f"eff_{names[2]}_min": eff(large, small),
+                    f"eff_{names[2]}_calibrated": eff_cal(
+                        large, small, "rate_median"
                     ),
-                },
+                }
+
+            scaling = {
+                "core_pair": pair_block(
+                    core, ("local2", "local8", "2_to_8_cores")
+                ),
+                "executor_pair": pair_block(
+                    execp, ("executors_1x2", "executors_4x2", "1_to_4_executors")
+                ),
             }
         except Exception as e:  # never fail the bench artifact
             scaling = {"error": str(e)[:300]}
@@ -464,7 +479,8 @@ def main() -> None:
         keep = (
             "n_urls", "seen_size", "sec", "urls_per_sec",
             "bloom_path_urls_per_sec", "bucketed_bloom_path_urls_per_sec",
-            "broadcast_path_urls_per_sec", "bucketed_bloom_urls_per_sec",
+            "broadcast_path_urls_per_sec", "auto_adhoc_bloom_path_urls_per_sec",
+            "bucketed_bloom_urls_per_sec",
             "cuckoo_urls_per_sec", "shuffle_antijoin_urls_per_sec",
         )
         out = {k: d[k] for k in keep if k in d}
@@ -474,30 +490,31 @@ def main() -> None:
 
     def _slim_scaling(s: dict | None) -> dict | None:
         # throughput at both parallelism levels + efficiency (the north
-        # rule's exact ask), median-of-clean-reps rates; per-leg sec /
-        # attempts / min-rate / calibration live in BENCH_FULL.json
+        # rule's exact ask). Headline eff is the PAIRED number (median of
+        # per-round interleaved ratios — each ratio sampled one host
+        # window); per-round detail / min / calibrated variants live in
+        # BENCH_FULL.json
         if not s or "error" in s:
             return s
         cp, ep = s["core_pair"], s["executor_pair"]
         clean = min(
             d["clean_reps"]
-            for d in (cp["local2"], cp["local8"],
-                      ep["executors_1x2"], ep["executors_4x2"])
+            for d in (cp["local2"], ep["executors_1x2"])
         )
         return {
             "n_urls": cp["local2"]["n_urls"],
             "seen": cp["local2"]["seen"],
-            "min_clean_reps": clean,
+            "min_clean_rounds": clean,
             "core_pair": {
                 "rate_local2": cp["local2"]["rate_median"],
                 "rate_local8": cp["local8"]["rate_median"],
-                "eff_2_to_8_cores": cp["eff_2_to_8_cores"],
+                "eff_2_to_8_cores": cp["eff_2_to_8_cores_paired"],
                 "eff_calibrated": cp["eff_2_to_8_cores_calibrated"],
             },
             "executor_pair": {
                 "rate_1x2": ep["executors_1x2"]["rate_median"],
                 "rate_4x2": ep["executors_4x2"]["rate_median"],
-                "eff_1_to_4_executors": ep["eff_1_to_4_executors_median"],
+                "eff_1_to_4_executors": ep["eff_1_to_4_executors_paired"],
                 "eff_calibrated": ep["eff_1_to_4_executors_calibrated"],
             },
         }

@@ -20,6 +20,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = "/tmp/lcs_north_pair.json"
@@ -140,6 +141,254 @@ print("RESULT", cpus, regime, n_urls, seen_n, round(best, 3), round(n_urls / bes
       calib)
 spark.stop()
 ''' % REPO
+
+
+# Server-mode leg for PAIRED interleaved measurement: same kernel and setup
+# as _LEG, but after warmup it waits on stdin and runs ONE rep per "REP"
+# command, reporting (sec, steal_frac) per rep. The parent keeps BOTH legs
+# of a scaling pair alive and ping-pongs reps between them, so every
+# efficiency ratio is built from two reps that sampled (nearly) the same
+# host window — sequential legs run minutes apart and host-speed drift
+# between them (frequency scaling / noisy neighbors that never show up in
+# the steal counter) was the dominant error term in the pair (observed
+# 0.69 vs 0.91 for the same kernel across back-to-back sequential runs).
+# Reps NEVER run concurrently: the idle leg's JVM just parks.
+_PAIR_LEG = r'''
+import sys, time
+sys.path.insert(0, "%s")
+from pyspark.sql import functions as F
+from literature_crawler_spark.operators import bloom as bloom_mod
+from literature_crawler_spark.operators import frontier as fr
+from literature_crawler_spark.operators import politeness as pol
+from literature_crawler_spark.session import get_spark
+
+cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); regime = sys.argv[3]
+master = sys.argv[4] if len(sys.argv) > 4 else f"local[{cpus}]"
+extra = {}
+if master.startswith("local-cluster"):
+    worker_mb = int(master.rstrip("]").split(",")[2])
+    extra = {"spark.executor.memory": f"{max(worker_mb * 3 // 4, 1024)}m",
+             "spark.executor.extraJavaOptions":
+                 "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1"}
+spark = get_spark("northpair", master=master,
+                  shuffle_partitions=max(2 * cpus, 4), extra_conf=extra)
+n_hosts = 1000
+
+def steal():
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+def urls(ids):
+    host = F.when(F.col("id") %% 10 == 0, F.lit(0)).otherwise(F.col("id") %% n_hosts)
+    return ids.select(F.col("id"), F.concat(
+        F.lit("https://h"), host.cast("string"), F.lit(".example.org/page/"),
+        F.col("id").cast("string"),
+        F.when(F.col("id") %% 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit(""))).alias("url"))
+
+if regime == "atscale":
+    seen_ids = spark.range(0, n_urls * 2)
+else:
+    seen_ids = spark.range(0, n_urls, 3)
+seen = fr.canonicalize_candidates(urls(seen_ids), output_cols=[]).select("url_hash").persist()
+seen_n = seen.count()
+
+import shutil, tempfile
+store_dir = tempfile.mkdtemp(prefix="northpair_")
+bstore = bloom_mod.BucketedBloomStore.create(store_dir, expected_items=seen_n, n_buckets=64)
+bstore.merge(seen)
+
+def run_once():
+    t0 = time.time()
+    cand = fr.canonicalize_candidates(urls(spark.range(n_urls)),
+                                      output_cols=["id"], probe_store=bstore)
+    new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True,
+                                expected_seen=seen_n, bloom_store=bstore)
+    pending = new.select("canon_url", "url_hash", "host",
+                         F.lit(0).alias("priority"), F.col("id").alias("seq"))
+    sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
+    sched.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+run_once()  # full-size JIT warmup (untimed)
+print("@READY", seen_n, flush=True)
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "REP":
+        s0 = steal()
+        dt = run_once()
+        frac = (steal() - s0) / 100.0 / (dt * cpus)
+        print("@REP", round(dt, 4), round(frac, 4), flush=True)
+    elif cmd == "CALIB":
+        _n = 6_000_000
+        _t0 = time.time()
+        _s = 0
+        for _i in range(_n):
+            _s += _i * _i
+        print("@CALIB", round(_n / (time.time() - _t0)), flush=True)
+    elif cmd == "QUIT":
+        break
+shutil.rmtree(store_dir, ignore_errors=True)
+print("@DONE", flush=True)
+spark.stop()
+''' % REPO
+
+
+class _PairLeg:
+    """One live leg subprocess speaking the @READY/@REP/@CALIB protocol.
+
+    stderr goes to a tempfile (Spark logs would deadlock a full pipe);
+    stdout is read line-by-line, skipping anything that is not a protocol
+    line (Spark occasionally prints progress to stdout)."""
+
+    def __init__(self, cpus: int, n_urls: int, regime: str,
+                 master: str | None = None):
+        import tempfile
+
+        self.cpus = cpus
+        self.master = master or f"local[{cpus}]"
+        gc = max(2, min(cpus, 8))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_DRIVER_JAVA_OPTS=(
+                f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
+            ),
+            # two driver JVMs are alive at once during a paired run — cap
+            # each well under half the box (the kernel's working set is
+            # only a few GB; 48g x 2 of uncommitted headroom is fine too,
+            # but a tighter cap keeps GC honest)
+            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_PAIR_DRIVER_MEM", "24g"),
+        )
+        self._errf = tempfile.NamedTemporaryFile(
+            mode="w", prefix=f"pairleg_{cpus}_", suffix=".err", delete=False
+        )
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _PAIR_LEG, str(cpus), str(n_urls), regime,
+             self.master],
+            env=env, cwd=REPO, text=True,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=self._errf,
+        )
+        self.seen_n = None
+
+    def _expect(self, tag: str) -> list[str]:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                err_tail = ""
+                try:
+                    with open(self._errf.name) as f:
+                        err_tail = f.read()[-2000:]
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"pair leg {self.master} died waiting for {tag}: {err_tail}"
+                )
+            if line.startswith(tag):
+                return line.split()
+
+    def ready(self) -> None:
+        parts = self._expect("@READY")
+        self.seen_n = int(parts[1])
+
+    def rep(self) -> tuple[float, float]:
+        self.proc.stdin.write("REP\n")
+        self.proc.stdin.flush()
+        parts = self._expect("@REP")
+        return float(parts[1]), float(parts[2])
+
+    def calib(self) -> int:
+        self.proc.stdin.write("CALIB\n")
+        self.proc.stdin.flush()
+        return int(self._expect("@CALIB")[1])
+
+    def quit(self) -> None:
+        try:
+            self.proc.stdin.write("QUIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+        try:
+            os.unlink(self._errf.name)
+        except OSError:
+            pass
+
+
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def run_pair(
+    small: tuple[int, str | None],
+    large: tuple[int, str | None],
+    n_urls: int,
+    regime: str = "atscale",
+    want_clean: int = 5,
+    max_rounds: int = 14,
+    steal_frac_cap: float = 0.25,
+    sleep_s: float = 10.0,
+) -> dict:
+    """Paired N -> 4N measurement: both legs stay alive; each round runs
+    one rep on the small leg then one on the large leg (never concurrent),
+    so the round's efficiency ratio samples one host window. A round is
+    clean only when BOTH reps pass the steal gate. Returns per-leg dicts
+    (same keys run_leg produces) plus the pair-level
+    ``eff_paired_median`` = median over clean rounds of
+    rate_large_i / (4 * rate_small_i)."""
+    a = _PairLeg(small[0], n_urls, regime, master=small[1])
+    b = _PairLeg(large[0], n_urls, regime, master=large[1])
+    try:
+        a.ready()
+        b.ready()
+        rounds: list[dict] = []
+        clean = 0
+        attempts = 0
+        while clean < want_clean and attempts < max_rounds:
+            attempts += 1
+            dt_a, fr_a = a.rep()
+            dt_b, fr_b = b.rep()
+            ok = fr_a <= steal_frac_cap and fr_b <= steal_frac_cap
+            rounds.append({
+                "sec_small": round(dt_a, 3), "sec_large": round(dt_b, 3),
+                "steal_small": round(fr_a, 3), "steal_large": round(fr_b, 3),
+                "clean": ok,
+                "eff": round(dt_a / (4 * dt_b), 3),
+            })
+            if ok:
+                clean += 1
+            else:
+                print(f"  dirty round (steal {fr_a:.0%}/{fr_b:.0%}), retrying",
+                      flush=True)
+                time.sleep(sleep_s)
+        calib_a, calib_b = a.calib(), b.calib()
+    finally:
+        a.quit()
+        b.quit()
+    use = [r for r in rounds if r["clean"]] or rounds
+    n_clean = len([r for r in rounds if r["clean"]])
+
+    def leg(key: str, skey: str, cpus: int, master: str, calib: int) -> dict:
+        best = min(use, key=lambda r: r[key])
+        med = _median([r[key] for r in use])
+        return {
+            "cpus": cpus, "regime": regime, "n_urls": n_urls, "seen": a.seen_n,
+            "sec": best[key], "rate": round(n_urls / best[key]),
+            "clean_reps": n_clean, "attempts": attempts,
+            "steal_frac_of_best_rep": best[skey],
+            "sec_median": med, "rate_median": round(n_urls / med),
+            "calib_loops_per_sec": calib,
+            "master": master,
+        }
+
+    return {
+        "small": leg("sec_small", "steal_small", small[0], a.master, calib_a),
+        "large": leg("sec_large", "steal_large", large[0], b.master, calib_b),
+        "rounds": rounds,
+        "eff_paired_median": round(_median([r["eff"] for r in use]), 3),
+        "all_rounds_dirty": not any(r["clean"] for r in rounds),
+    }
 
 
 def run_leg(
