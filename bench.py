@@ -390,13 +390,20 @@ def main() -> None:
             # setup) distort small inputs badly — 2M URLs measured 0.18
             # executor "efficiency" where 8M measures 0.7-0.8 on the same
             # kernel — so the pairs always run at full size regardless of
-            # the suite's URL knob
+            # the suite's URL knob. The executor pair needs 2x more again:
+            # the 4-JVM leg carries ~1s of per-job scheduling/RPC/Arrow
+            # warmup that the single-JVM legs don't, which at 8M URLs is
+            # a quarter of its ~4s runtime (measured paired eff 0.58);
+            # at 16M the work dominates and the same kernel measures
+            # 0.93 paired (25.1s vs 6.75s, default shuffle compression).
             mj_urls = int(os.environ.get("SPARK_GRAFT_MULTIJVM_URLS", 8_000_000))
+            exec_urls = int(os.environ.get(
+                "SPARK_GRAFT_EXECPAIR_URLS", max(2 * mj_urls, 16_000_000)))
             core = run_pair((2, None), (8, None), mj_urls,
                             want_clean=5, max_rounds=14)
             execp = run_pair(
                 (2, "local-cluster[1,2,4096]"), (8, "local-cluster[4,2,4096]"),
-                mj_urls, want_clean=5, max_rounds=14,
+                exec_urls, want_clean=5, max_rounds=14,
             )
 
             def eff(num, den, key="rate"):
@@ -502,16 +509,18 @@ def main() -> None:
             for d in (cp["local2"], ep["executors_1x2"])
         )
         return {
-            "n_urls": cp["local2"]["n_urls"],
-            "seen": cp["local2"]["seen"],
             "min_clean_rounds": clean,
             "core_pair": {
+                "n_urls": cp["local2"]["n_urls"],
+                "seen": cp["local2"]["seen"],
                 "rate_local2": cp["local2"]["rate_median"],
                 "rate_local8": cp["local8"]["rate_median"],
                 "eff_2_to_8_cores": cp["eff_2_to_8_cores_paired"],
                 "eff_calibrated": cp["eff_2_to_8_cores_calibrated"],
             },
             "executor_pair": {
+                "n_urls": ep["executors_1x2"]["n_urls"],
+                "seen": ep["executors_1x2"]["seen"],
                 "rate_1x2": ep["executors_1x2"]["rate_median"],
                 "rate_4x2": ep["executors_4x2"]["rate_median"],
                 "eff_1_to_4_executors": ep["eff_1_to_4_executors_paired"],
