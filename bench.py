@@ -203,8 +203,10 @@ def bench_frontier(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
     # 'auto' resolves to the exact broadcast anti-join only under the
     # ceiling; past it (e.g. a larger SPARK_GRAFT_BENCH_URLS) it falls
     # through to the ad-hoc bloom path — record which plan was measured so
-    # the key never claims a broadcast that didn't happen
+    # NO key (rate, steal_frac, clean_reps) claims a broadcast that didn't
+    # happen
     auto_is_broadcast = seen_n <= fr.BROADCAST_SEEN_MAX
+    auto_key = "broadcast" if auto_is_broadcast else "auto_adhoc_bloom"
     t_bcast = timed("auto")
     repin()
     t_bloom = timed(True)
@@ -229,18 +231,14 @@ def bench_frontier(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
         "urls_per_sec": round(n_urls / best),
         "bloom_path_urls_per_sec": round(n_urls / t_bloom[0]),
         "bucketed_bloom_path_urls_per_sec": round(n_urls / t_bucketed[0]),
-        (
-            "broadcast_path_urls_per_sec"
-            if auto_is_broadcast
-            else "auto_adhoc_bloom_path_urls_per_sec"
-        ): round(n_urls / t_bcast[0]),
+        f"{auto_key}_path_urls_per_sec": round(n_urls / t_bcast[0]),
         "steal_frac": {
-            "broadcast": round(t_bcast[1], 3),
+            auto_key: round(t_bcast[1], 3),
             "bloom": round(t_bloom[1], 3),
             "bucketed": round(t_bucketed[1], 3),
         },
         "clean_reps": {
-            "broadcast": t_bcast[2], "bloom": t_bloom[2], "bucketed": t_bucketed[2]
+            auto_key: t_bcast[2], "bloom": t_bloom[2], "bucketed": t_bucketed[2]
         },
     }
 

@@ -158,29 +158,45 @@ def publish_literature(
 
 
 # img-tag grammar for the figure-list rebuild. The reference parses with
-# BeautifulSoup; this regex form covers the quoting HTML actually allows
-# (double-quoted, single-quoted, unquoted attribute values) — a src-less
-# <img> (which would crash the reference's ``oss_path.replace``) is
-# dropped instead. The tag body alternation consumes quoted values
-# atomically so a literal '>' inside an attribute (valid HTML, e.g.
-# title="fig > 2") does not truncate the tag the way a plain [^>]* would;
-# (?![\w-]) keeps custom elements like <img-lazy> from matching.
-_IMG_TAG_RX = r"(?i)<img(?![\w-])(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+# BeautifulSoup (html.parser); this regex form mirrors its tolerant tag
+# scan: quoted values are consumed atomically ONLY where html.parser
+# treats them as values — right after an '=' — so a literal '>' inside
+# title="fig > 2" does not truncate the tag, while a lone apostrophe
+# anywhere else (alt=O'Brien) is plain text rather than an unterminated
+# quote that kills the whole match. Each (?>...) iteration is atomic, so
+# pathological quote runs cannot trigger exponential backtracking.
+# (?![\w-]) keeps custom elements like <img-lazy> from matching; a
+# src-less <img> (which would crash the reference's ``oss_path.replace``)
+# is dropped by the caller instead.
+_IMG_TAG_RX = (
+    r"(?i)<img(?![\w-])"
+    r"""(?>=\s*+(?>"[^"]*+"|'[^']*+'|[^>\s]*+)|[^>=]++)*>"""
+)
+
+# One whole attribute (name, optionally = quoted-or-unquoted value), used
+# to SKIP leading attributes when scanning for a target one. '/' is
+# excluded from names so self-closing '/>' never reads as a name.
+_SKIP_ATTR = r"""[^\s>/=]++(?:\s*=\s*(?>"[^"]*+"|'[^']*+'|[^\s>]*+))?+"""
 
 
 def _attr_value(col: Column, name: str) -> Column:
-    """First value of attribute ``name`` inside a tag string, NULL when
-    absent — BeautifulSoup's ``tag.get(name)``. Handles double-quoted,
-    single-quoted, and unquoted values; the (?<![\\w-]) lookbehind keeps
-    ``data-src``/``data-title`` (lazy-load markup) from shadowing the real
-    attribute, which a bare \\b boundary would allow ('-' is a non-word
-    char). An empty value reads as NULL (the caller drops those rows
-    either way)."""
-    dq = F.regexp_extract(col, rf'(?i)(?<![\w-]){name}\s*=\s*"([^"]*)"', 1)
-    sq = F.regexp_extract(col, rf"(?i)(?<![\w-]){name}\s*=\s*'([^']*)'", 1)
-    uq = F.regexp_extract(
-        col, rf"""(?i)(?<![\w-]){name}\s*=\s*([^\s"'>][^\s>]*)""", 1
+    """Value of the first attribute ``name`` inside one matched tag
+    string, NULL when absent — BeautifulSoup's ``tag.get(name)``. Scans
+    attributes SEQUENTIALLY from the tag start (skipping whole
+    non-target attributes, their quoted values consumed atomically)
+    rather than searching for ``name=`` anywhere, so attribute-shaped
+    text inside ANOTHER attribute's quoted value (alt="see src=x here")
+    is never extracted, ``data-src``/``data-title`` lazy-load markup
+    never shadows the real attribute, and document order — not quoting
+    style — decides which occurrence wins. Handles double-quoted,
+    single-quoted, and unquoted values; an empty value reads as NULL
+    (the caller drops those rows either way)."""
+    base = (
+        rf"(?i)^<img(?![\w-])"
+        rf"(?:[\s/]++(?!{name}\s*=)(?>{_SKIP_ATTR}))*+"
+        rf"""[\s/]++{name}\s*=\s*(?:"([^"]*+)"|'([^']*+)'|([^\s>]*+))"""
     )
+    dq, sq, uq = (F.regexp_extract(col, base, i) for i in (1, 2, 3))
     return F.coalesce(
         F.nullif(dq, F.lit("")), F.nullif(sq, F.lit("")), F.nullif(uq, F.lit(""))
     )

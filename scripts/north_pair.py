@@ -25,7 +25,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = "/tmp/lcs_north_pair.json"
 
-_LEG = r'''
+# Shared leg prologue: session + synthetic frontier + maintained store +
+# the ONE measured kernel (run_once) + per-leg calibration. Both leg
+# flavors (batch driver below, interleaved pair server further down) are
+# this prologue plus a different rep-driver suffix — the kernel exists
+# exactly once, so a kernel change cannot silently diverge between the
+# sequential and paired measurements.
+_COMMON = r'''
 import sys, time
 sys.path.insert(0, "%s")
 from pyspark.sql import functions as F
@@ -35,16 +41,10 @@ from literature_crawler_spark.operators import politeness as pol
 from literature_crawler_spark.session import get_spark
 
 cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); regime = sys.argv[3]
-# a rep is clean when system-wide steal during its window stays under this
-# fraction of the leg's own core-seconds (steal is a whole-VM counter, so
-# an absolute cap over-rejects low-parallelism legs)
-STEAL_FRAC_CAP = float(sys.argv[4])
 # master override (VERDICT r03 item 4): 'local-cluster[N,C,M]' runs N
 # separate worker JVMs x C cores — the in-sandbox stand-in for real
 # executors, measuring whether per-JVM Arrow lanes multiply out
-master = sys.argv[5] if len(sys.argv) > 5 else f"local[{cpus}]"
-WANT_CLEAN = int(sys.argv[6]) if len(sys.argv) > 6 else 3
-MAX_ATTEMPTS = int(sys.argv[7]) if len(sys.argv) > 7 else 40
+master = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] else f"local[{cpus}]"
 extra = {}
 if master.startswith("local-cluster"):
     # executor heap = worker memory minus ~25%% headroom (the worker
@@ -97,7 +97,29 @@ def run_once():
     sched.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
-run_once()  # full-size JIT warmup
+def calib():
+    # single-core host-speed anchor taken INSIDE the leg: identical legs
+    # of one kernel measured 590-744k/s hours apart on this shared VM
+    # (clean steal both times) — per-leg calibration lets a ratio cancel
+    # the drift
+    _n = 6_000_000
+    _t0 = time.time()
+    _s = 0
+    for _i in range(_n):
+        _s += _i * _i
+    return round(_n / (time.time() - _t0))
+
+run_once()  # full-size JIT warmup (untimed)
+'''
+
+# Batch driver: steal-gated best-of-reps in one shot, RESULT on stdout.
+_LEG = (_COMMON + r'''
+# a rep is clean when system-wide steal during its window stays under this
+# fraction of the leg\'s own core-seconds (steal is a whole-VM counter, so
+# an absolute cap over-rejects low-parallelism legs)
+STEAL_FRAC_CAP = float(sys.argv[5]) if len(sys.argv) > 5 else 0.25
+WANT_CLEAN = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+MAX_ATTEMPTS = int(sys.argv[7]) if len(sys.argv) > 7 else 40
 best, best_frac, clean_reps, attempts, clean_times = None, None, 0, 0, []
 dirty_best, dirty_frac = None, None
 while clean_reps < WANT_CLEAN and attempts < MAX_ATTEMPTS:
@@ -108,7 +130,7 @@ while clean_reps < WANT_CLEAN and attempts < MAX_ATTEMPTS:
     if frac > STEAL_FRAC_CAP:
         # dirty reps never set the reported best: a contaminated rep can
         # undercut slow-but-clean ones, making clean_reps>0 lie about the
-        # number's provenance; kept only as the all-dirty fallback
+        # number\'s provenance; kept only as the all-dirty fallback
         if dirty_best is None or dt < dirty_best:
             dirty_best, dirty_frac = dt, frac
         print(f"  dirty rep ({frac:.0%%} of leg core-sec stolen), retrying", flush=True)
@@ -123,28 +145,20 @@ if clean_reps == 0:
     print("  WARNING: no clean rep achieved; value is steal-contaminated", flush=True)
 # median of clean reps alongside the min: scaling RATIOS need a robust
 # estimator — min systematically picks the scheduling-lucky outlier of
-# the small leg (its python workers pipeline onto the idle box's spare
+# the small leg (its python workers pipeline onto the idle box\'s spare
 # cores), inflating the denominator of an efficiency pair
 med = sorted(clean_times)[len(clean_times) // 2] if clean_times else best
-# single-core host-speed anchor taken INSIDE the leg: identical legs of
-# one kernel measured 590-744k/s hours apart on this shared VM (clean
-# steal both times) — per-leg calibration lets a ratio cancel the drift
-_n = 6_000_000
-_t0 = time.time()
-_s = 0
-for _i in range(_n):
-    _s += _i * _i
-calib = round(_n / (time.time() - _t0))
+c = calib()
 shutil.rmtree(store_dir, ignore_errors=True)
 print("RESULT", cpus, regime, n_urls, seen_n, round(best, 3), round(n_urls / best),
       clean_reps, attempts, round(best_frac, 3), round(med, 3), round(n_urls / med),
-      calib)
+      c)
 spark.stop()
-''' % REPO
+''') % REPO
 
 
-# Server-mode leg for PAIRED interleaved measurement: same kernel and setup
-# as _LEG, but after warmup it waits on stdin and runs ONE rep per "REP"
+# Server-mode leg for PAIRED interleaved measurement: same prologue and
+# kernel, but after warmup it waits on stdin and runs ONE rep per "REP"
 # command, reporting (sec, steal_frac) per rep. The parent keeps BOTH legs
 # of a scaling pair alive and ping-pongs reps between them, so every
 # efficiency ratio is built from two reps that sampled (nearly) the same
@@ -152,67 +166,8 @@ spark.stop()
 # between them (frequency scaling / noisy neighbors that never show up in
 # the steal counter) was the dominant error term in the pair (observed
 # 0.69 vs 0.91 for the same kernel across back-to-back sequential runs).
-# Reps NEVER run concurrently: the idle leg's JVM just parks.
-_PAIR_LEG = r'''
-import sys, time
-sys.path.insert(0, "%s")
-from pyspark.sql import functions as F
-from literature_crawler_spark.operators import bloom as bloom_mod
-from literature_crawler_spark.operators import frontier as fr
-from literature_crawler_spark.operators import politeness as pol
-from literature_crawler_spark.session import get_spark
-
-cpus = int(sys.argv[1]); n_urls = int(sys.argv[2]); regime = sys.argv[3]
-master = sys.argv[4] if len(sys.argv) > 4 else f"local[{cpus}]"
-extra = {}
-if master.startswith("local-cluster"):
-    worker_mb = int(master.rstrip("]").split(",")[2])
-    extra = {"spark.executor.memory": f"{max(worker_mb * 3 // 4, 1024)}m",
-             "spark.executor.extraJavaOptions":
-                 "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1"}
-spark = get_spark("northpair", master=master,
-                  shuffle_partitions=max(2 * cpus, 4), extra_conf=extra)
-n_hosts = 1000
-
-def steal():
-    try:
-        with open("/proc/stat") as f:
-            return int(f.readline().split()[8])
-    except Exception:
-        return 0
-
-def urls(ids):
-    host = F.when(F.col("id") %% 10 == 0, F.lit(0)).otherwise(F.col("id") %% n_hosts)
-    return ids.select(F.col("id"), F.concat(
-        F.lit("https://h"), host.cast("string"), F.lit(".example.org/page/"),
-        F.col("id").cast("string"),
-        F.when(F.col("id") %% 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit(""))).alias("url"))
-
-if regime == "atscale":
-    seen_ids = spark.range(0, n_urls * 2)
-else:
-    seen_ids = spark.range(0, n_urls, 3)
-seen = fr.canonicalize_candidates(urls(seen_ids), output_cols=[]).select("url_hash").persist()
-seen_n = seen.count()
-
-import shutil, tempfile
-store_dir = tempfile.mkdtemp(prefix="northpair_")
-bstore = bloom_mod.BucketedBloomStore.create(store_dir, expected_items=seen_n, n_buckets=64)
-bstore.merge(seen)
-
-def run_once():
-    t0 = time.time()
-    cand = fr.canonicalize_candidates(urls(spark.range(n_urls)),
-                                      output_cols=["id"], probe_store=bstore)
-    new = fr.dedup_against_seen(spark, cand, seen, use_bloom=True,
-                                expected_seen=seen_n, bloom_store=bstore)
-    pending = new.select("canon_url", "url_hash", "host",
-                         F.lit(0).alias("priority"), F.col("id").alias("seq"))
-    sched = pol.schedule_wave(pending, politeness=None, default_budget=1000)
-    sched.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
-
-run_once()  # full-size JIT warmup (untimed)
+# Reps NEVER run concurrently: the idle leg\'s JVM just parks.
+_PAIR_LEG = (_COMMON + r'''
 print("@READY", seen_n, flush=True)
 for line in sys.stdin:
     cmd = line.strip()
@@ -222,18 +177,32 @@ for line in sys.stdin:
         frac = (steal() - s0) / 100.0 / (dt * cpus)
         print("@REP", round(dt, 4), round(frac, 4), flush=True)
     elif cmd == "CALIB":
-        _n = 6_000_000
-        _t0 = time.time()
-        _s = 0
-        for _i in range(_n):
-            _s += _i * _i
-        print("@CALIB", round(_n / (time.time() - _t0)), flush=True)
+        print("@CALIB", calib(), flush=True)
     elif cmd == "QUIT":
         break
 shutil.rmtree(store_dir, ignore_errors=True)
 print("@DONE", flush=True)
 spark.stop()
-''' % REPO
+''') % REPO
+
+
+def _leg_env(cpus: int, pair: bool = False) -> dict:
+    """Per-leg driver-JVM environment: GC pools sized to the leg, and —
+    for paired runs, where two driver JVMs are alive at once — a heap cap
+    well under half the box (the kernel's working set is only a few GB; a
+    tighter cap keeps GC honest)."""
+    gc = max(2, min(cpus, 8))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_DRIVER_JAVA_OPTS=(
+            f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
+        ),
+    )
+    if pair:
+        env["SPARK_GRAFT_DRIVER_MEM"] = os.environ.get(
+            "SPARK_GRAFT_PAIR_DRIVER_MEM", "24g"
+        )
+    return env
 
 
 class _PairLeg:
@@ -249,18 +218,7 @@ class _PairLeg:
 
         self.cpus = cpus
         self.master = master or f"local[{cpus}]"
-        gc = max(2, min(cpus, 8))
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_DRIVER_JAVA_OPTS=(
-                f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
-            ),
-            # two driver JVMs are alive at once during a paired run — cap
-            # each well under half the box (the kernel's working set is
-            # only a few GB; 48g x 2 of uncommitted headroom is fine too,
-            # but a tighter cap keeps GC honest)
-            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_PAIR_DRIVER_MEM", "24g"),
-        )
+        env = _leg_env(cpus, pair=True)
         self._errf = tempfile.NamedTemporaryFile(
             mode="w", prefix=f"pairleg_{cpus}_", suffix=".err", delete=False
         )
@@ -317,7 +275,12 @@ class _PairLeg:
 
 
 def _median(xs: list[float]) -> float:
-    return sorted(xs)[len(xs) // 2]
+    # true median: even-length lists average the middle two (the upper-
+    # middle alone would optimistically bias eff_paired_median whenever a
+    # storm leaves an even clean-round count)
+    ys = sorted(xs)
+    mid = len(ys) // 2
+    return ys[mid] if len(ys) % 2 else (ys[mid - 1] + ys[mid]) / 2.0
 
 
 def run_pair(
@@ -338,7 +301,11 @@ def run_pair(
     ``eff_paired_median`` = median over clean rounds of
     rate_large_i / (4 * rate_small_i)."""
     a = _PairLeg(small[0], n_urls, regime, master=small[1])
-    b = _PairLeg(large[0], n_urls, regime, master=large[1])
+    try:
+        b = _PairLeg(large[0], n_urls, regime, master=large[1])
+    except BaseException:
+        a.quit()  # leg a's JVM + stderr tempfile must not outlive a failed pair setup
+        raise
     try:
         a.ready()
         b.ready()
@@ -406,15 +373,9 @@ def run_leg(
     placement lottery — a 2-task leg's python workers pipeline onto spare
     cores, inflating it 20-25% run-to-run and poisoning any efficiency
     ratio built on it. Pinning makes each leg a fixed-size "node"."""
-    gc = max(2, min(cpus, 8))
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_DRIVER_JAVA_OPTS=(
-            f"-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={max(gc // 4, 1)}"
-        ),
-    )
+    env = _leg_env(cpus)
     argv = [sys.executable, "-c", _LEG, str(cpus), str(n_urls), regime,
-            str(steal_frac_cap), master or f"local[{cpus}]",
+            master or f"local[{cpus}]", str(steal_frac_cap),
             str(clean_reps), str(max_attempts)]
     if pin_cpus is not None:
         argv = ["taskset", "-c", f"0-{pin_cpus - 1}"] + argv

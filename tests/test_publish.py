@@ -264,3 +264,38 @@ def test_attr_grammar_quoting_and_data_prefix(spark):
         "10.2/m": ("plain.png", "mixed"),
         # 10.2/n dropped: data-src is not src
     }
+
+
+def test_attr_grammar_review_regressions(spark):
+    """Three BeautifulSoup-parity holes in the first single-quote/unquoted
+    grammar: (1) attribute-shaped text inside ANOTHER attribute's quoted
+    value must not be extracted as the real src/title; (2) document order,
+    not quoting style, decides which occurrence wins; (3) a lone
+    apostrophe in an unquoted value must not kill the whole tag match."""
+    df = spark.createDataFrame(
+        [
+            # no real src: the only 'src=' lives inside alt's quoted value
+            (1, "10.3/a", 0, '<img alt="see src=http://x/y.png here">'),
+            # title= inside alt must stay NULL description
+            (2, "10.3/b", 0, '<img src="https://static.yanyin.tech/b.png"'
+             ' alt="title=oops">'),
+            # single-quoted alt holding a fake dq src; real src is sq
+            (3, "10.3/c", 0,
+             "<img alt='src=\"evil.png\"' src='https://static.yanyin.tech/"
+             "c.png'>"),
+            # unpaired apostrophe in an unquoted value: tag must still match
+            (4, "10.3/d", 0,
+             '<img src="https://static.yanyin.tech/d.png" alt=O\'Brien>'),
+        ],
+        "literature_id long, doi string, step_idx int, data string",
+    )
+    out = {
+        r.doi: (r.oss_path, r.description)
+        for r in pb.extract_figure_list(df).collect()
+    }
+    assert out == {
+        "10.3/b": ("b.png", None),
+        "10.3/c": ("c.png", None),
+        "10.3/d": ("d.png", None),
+        # 10.3/a dropped: no real src attribute
+    }
