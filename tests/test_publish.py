@@ -299,3 +299,78 @@ def test_attr_grammar_review_regressions(spark):
         "10.3/d": ("d.png", None),
         # 10.3/a dropped: no real src attribute
     }
+
+
+def test_attr_grammar_matches_html_parser(spark):
+    """Randomized parity with stdlib html.parser — the tokenizer behind
+    BeautifulSoup's default builder, i.e. what the reference's
+    insert_figure_list actually saw. 400 seeded tags across all quoting
+    styles (double/single/unquoted/bare, '>' and '=' and quotes inside
+    values, '/' separators, self-closing): first-occurrence src/title
+    must agree exactly, empty reading as NULL."""
+    import random
+    from html.parser import HTMLParser
+
+    rnd = random.Random(20260819)
+    names_pool = ["src", "title", "alt", "data-src", "srcset", "class"]
+    word = "abcdefghijklmnopqrstuvwxyz0123456789._:/-"
+
+    def rand_val(style):
+        alpha = {"dq": word + " '>=&", "sq": word + ' ">=', "uq": word + "'="}[style]
+        v = "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 12)))
+        if style == "uq" and (not v or v[0] in "\"'"):
+            v = "x" + v
+        return v
+
+    def rand_tag():
+        parts = []
+        for nm in rnd.sample(names_pool, rnd.randint(0, 4)):
+            style = rnd.choice(["dq", "sq", "uq", "bare"])
+            sep = rnd.choice([" ", "  ", " / "]) if rnd.random() < 0.1 else " "
+            eq = rnd.choice(["=", " = ", "= "])
+            if style == "bare":
+                parts.append(sep + nm)
+            elif style == "uq":
+                parts.append(f"{sep}{nm}{eq}{rand_val('uq')}")
+            else:
+                q = '"' if style == "dq" else "'"
+                parts.append(f"{sep}{nm}{eq}{q}{rand_val(style)}{q}")
+        return "<img" + "".join(parts) + rnd.choice([">", ">", ">", "/>", " >"])
+
+    class FirstImg(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.attrs = None
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "img" and self.attrs is None:
+                first = {}
+                for k, v in attrs:
+                    first.setdefault(k, v)
+                self.attrs = first
+
+        handle_startendtag = handle_starttag
+
+    rows, expected = [], {}
+    for i in range(400):
+        doc = (rnd.choice(["", "<p>pre 'q' x</p>"]) + rand_tag()
+               + rnd.choice(["", " tail>more"]))
+        p = FirstImg()
+        p.feed(doc)
+        if p.attrs is None:
+            continue
+        rows.append((i, doc))
+        expected[i] = (p.attrs.get("src") or None, p.attrs.get("title") or None)
+    assert len(rows) > 350  # the generator must mostly produce parseable tags
+
+    df = spark.createDataFrame(rows, "i long, data string")
+    got = {
+        r.i: (r.src, r.title)
+        for r in df.withColumn("_img", F.regexp_extract("data", pb._IMG_TAG_RX, 0))
+        .withColumn("src", pb._attr_value(F.col("_img"), "src"))
+        .withColumn("title", pb._attr_value(F.col("_img"), "title"))
+        .select("i", "src", "title")
+        .collect()
+    }
+    mismatches = {i: (got[i], expected[i]) for i in expected if got[i] != expected[i]}
+    assert mismatches == {}
