@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from literature_crawler_spark.functions import hashing, urls
 from literature_crawler_spark.operators import frontier as fr
 from literature_crawler_spark.operators import politeness as pol
 from literature_crawler_spark.plans.state import SnapshotStore
@@ -278,29 +277,39 @@ class CrawlEngine:
     def seen(self) -> DataFrame | None:
         return self.store.read(self.spark, "seen")
 
-    def retract(self, urls: DataFrame, url_col: str = "url", requeue: bool = False) -> dict:
-        """Remove URLs from the committed seen set so they become
-        crawlable again — the recrawl-after-expiry path (reference
-        analogue: a protocol whose ``version_id`` changed re-enters the
-        crawl, ``protocol_io_crawl.py`` update branch).
+    def retract(self, to_retract: DataFrame, url_col: str = "url", requeue: bool = False) -> dict:
+        """Make URLs crawlable again — the recrawl-after-expiry path
+        (reference analogue: a protocol whose ``version_id`` changed
+        re-enters the crawl, ``protocol_io_crawl.py`` update branch).
 
-        Seen is rewritten without the retracted keys (copy-on-write
-        delete; an Iceberg deploy writes position deletes instead — same
-        semantics, same reader contract). Store maintenance follows the
-        commit: a cuckoo store DELETEs the keys in place (its reason to
-        exist); a Bloom store is rebuilt from the new seen (bitmaps
-        cannot delete). Ordering keeps the superset invariant: the store
-        is never behind seen — between commit and store maintenance it
-        holds extra keys, which only cost wasted exact-join probes.
+        ``requeue=True`` (recrawl): the URL KEEPS its seen/store
+        membership — it is still in the frontier, so link re-discovery
+        must keep deduping against it — and only its frontier row flips
+        back to ``pending`` (keeping its seq), so the next wave
+        re-schedules it. Removing it from seen here would let the same
+        URL re-enter as "new" with a fresh seq in the same wave that
+        also writes its fetch outcome (two rows under one merge
+        snapshot, nondeterministic reader tie-break) and re-fetch it a
+        third time on any later link hit. This mirrors the reference,
+        whose update branch re-fetches an EXISTING row without deleting
+        it, and preserves the invariant the crash-window reconciler
+        relies on: every pending frontier row is in seen.
 
-        ``requeue=True`` additionally flips the retracted rows' frontier
-        status back to ``pending`` (keeping their seq), so the next wave
-        re-schedules them without waiting for link re-discovery.
+        ``requeue=False`` (forget): seen is rewritten without the keys
+        (copy-on-write delete; an Iceberg deploy writes position deletes
+        instead — same semantics, same reader contract), so a later link
+        re-discovery recrawls the URL from scratch under a NEW seq.
+        Store maintenance follows the commit: a cuckoo store DELETEs the
+        keys in place (its reason to exist); a Bloom store is rebuilt
+        from the new seen (bitmaps cannot delete). Ordering keeps the
+        superset invariant: the store is never behind seen — between
+        commit and store maintenance it holds extra keys, which only
+        cost wasted exact-join probes.
         """
         seen = self.seen()
         if seen is None:
             return {"retracted": 0, "requeued": 0}
-        cand = fr.canonicalize_candidates(urls.select(F.col(url_col).alias("url")))
+        cand = fr.canonicalize_candidates(to_retract.select(F.col(url_col).alias("url")))
         keys = (
             cand.select("url_hash")
             .dropDuplicates(["url_hash"])
@@ -311,29 +320,6 @@ class CrawlEngine:
         if n == 0:
             keys.unpersist()
             return {"retracted": 0, "requeued": 0}
-        remaining = seen.join(keys, "url_hash", "left_anti")
-        prev_total = (self.store.latest("seen") or {}).get("meta", {}).get("total")
-        if prev_total is None:
-            prev_total = seen.count()
-        sid = self.store.commit(
-            "seen", remaining, mode="replace", wave=self.last_wave(),
-            meta={"total": prev_total - n, "retracted": n},
-        )
-        if self._bloom_store is not None:
-            if hasattr(self._bloom_store, "delete"):  # cuckoo: in-place
-                self._bloom_store.delete(keys)
-            else:  # bloom: rebuild from the new seen
-                from literature_crawler_spark.operators import bloom as bloom_mod
-
-                st = self._bloom_store
-                self._bloom_store = bloom_mod.BucketedBloomStore.create(
-                    st.root,
-                    expected_items=max(prev_total - n, 2_000_000),
-                    n_buckets=st.n_buckets,
-                )
-                self._store_merge(self.seen().select("url_hash"))
-            self._bloom_store.set_watermark(sid)
-        n_requeued = 0
         if requeue:
             frontier = self.frontier()
             # only rows whose status actually changes count toward the
@@ -356,8 +342,32 @@ class CrawlEngine:
                 merge_key=["url_hash"],
             )
             flip.unpersist()
+            keys.unpersist()
+            return {"retracted": n, "requeued": n_requeued}
+        remaining = seen.join(keys, "url_hash", "left_anti")
+        prev_total = (self.store.latest("seen") or {}).get("meta", {}).get("total")
+        if prev_total is None:
+            prev_total = seen.count()
+        sid = self.store.commit(
+            "seen", remaining, mode="replace", wave=self.last_wave(),
+            meta={"total": prev_total - n, "retracted": n},
+        )
+        if self._bloom_store is not None:
+            if hasattr(self._bloom_store, "delete"):  # cuckoo: in-place
+                self._bloom_store.delete(keys)
+            else:  # bloom: rebuild from the new seen
+                from literature_crawler_spark.operators import bloom as bloom_mod
+
+                st = self._bloom_store
+                self._bloom_store = bloom_mod.BucketedBloomStore.create(
+                    st.root,
+                    expected_items=max(prev_total - n, 2_000_000),
+                    n_buckets=st.n_buckets,
+                )
+                self._store_merge(self.seen().select("url_hash"))
+            self._bloom_store.set_watermark(sid)
         keys.unpersist()
-        return {"retracted": n, "requeued": n_requeued}
+        return {"retracted": n, "requeued": 0}
 
     def frontier(self) -> DataFrame | None:
         return self.store.read(self.spark, "frontier")
@@ -652,13 +662,67 @@ class CrawlEngine:
         return metrics
 
     # -------------------------------------------------------------- run ----
+    def _reconcile_crash_window(self) -> int:
+        """Heal the non-atomic multi-table commit window on resume.
+
+        A wave commits frontier (merge) BEFORE seen (append); a crash
+        between the two leaves wave W's newly discovered URLs pending in
+        the frontier but absent from seen — on resume they would be
+        scheduled AND re-admittable via links as "new" with fresh seqs
+        (double-numbered, double-fetched). The invariant to restore is
+        ``pending frontier rows ⊆ seen`` (every URL enters the frontier
+        only when admitted into seen; ``retract(requeue=False)`` removes
+        non-pending rows only). Detection is O(1): the wave recorded by
+        the latest frontier manifest is ahead of the latest seen
+        manifest's exactly and only inside this window (every clean wave,
+        bootstrap, compaction, and both retract paths leave them equal).
+        The heal appends the missing pending keys to seen — store merge
+        first, preserving the store-superset invariant. Audit tables
+        (order/outcomes/metrics/lineage) committed after seen may still
+        miss wave W's rows; they are observability, not inputs, so a gap
+        there cannot corrupt the crawl.
+        """
+        f_latest = self.store.latest("frontier")
+        if f_latest is None:
+            return 0
+        s_latest = self.store.latest("seen")
+        if s_latest is not None and s_latest["wave"] >= f_latest["wave"]:
+            return 0
+        frontier = self.frontier()
+        missing = frontier.filter(F.col("status") == "pending").select(
+            "url_hash", "canon_url", "bucket", "wave"
+        )
+        seen = self.seen()
+        if seen is not None:
+            missing = missing.join(seen.select("url_hash"), "url_hash", "left_anti")
+        missing = missing.persist()
+        n = missing.count()
+        if n and self._bloom_store is not None:  # superset invariant: store first
+            self._store_merge(missing.select("url_hash"))
+        # commit even when n == 0 so seen's wave catches up — otherwise a
+        # crashed zero-discovery wave would re-trigger this scan on every
+        # resume forever
+        prev_total = (s_latest or {}).get("meta", {}).get("total") or 0
+        sid = self.store.commit(
+            "seen", missing, mode="append", wave=f_latest["wave"],
+            meta={"added": n, "total": prev_total + n, "healed": True},
+        )
+        if self._bloom_store is not None:
+            self._bloom_store.set_watermark(sid)
+        missing.unpersist()
+        return n
+
     def run(self, seeds: DataFrame | None = None, max_waves: int = 10) -> list[dict]:
         """Run (or resume) the crawl. If the store has committed state the
         seed bootstrap is skipped and the loop continues from the last
-        committed wave — the resume contract."""
+        committed wave — the resume contract (including the crash-window
+        heal: a run killed between a wave's frontier and seen commits
+        resumes without double-numbering its discovered URLs)."""
         if self.last_wave() is None:
             assert seeds is not None, "first run needs a seed list"
             self.bootstrap(seeds)
+        else:
+            self._reconcile_crash_window()
         out = []
         start = (self.last_wave() or 0) + 1
         for wave in range(start, start + max_waves):

@@ -171,9 +171,13 @@ class TestEngineWiring:
         assert results["cuckoo"]["order"] == results[False]["order"]
 
     def test_retract_and_recrawl(self, spark, tmp_path):
-        """The deletion path end-to-end: retract a crawled URL from seen
-        (cuckoo in-place delete), requeue it, and watch the next wave
-        re-schedule and re-fetch it."""
+        """Both retract modes end-to-end. requeue=True (recrawl): the URL
+        KEEPS its seen/store membership — it is still in the frontier, so
+        link re-discovery must keep deduping against it (removing it
+        would re-admit it as 'new' with a fresh seq in the same wave as
+        its outcome row) — and the next wave re-schedules it under its
+        original seq. requeue=False (forget): the key leaves seen and the
+        cuckoo store deletes it in place."""
         from pyspark.sql import functions as F
 
         from literature_crawler_spark.plans.crawl import CrawlEngine
@@ -185,24 +189,26 @@ class TestEngineWiring:
         store = SnapshotStore(str(tmp_path / "rt"))
         eng = CrawlEngine(spark, store, pages, use_bloom="cuckoo")
         eng.run(seeds, max_waves=2)
-        victim = eng.crawl_order().orderBy("seq").limit(1).collect()[0]
+        order = eng.crawl_order().orderBy("seq").limit(2).collect()
+        victim, victim2 = order[0], order[1]
         before = eng.seen().count()
 
         out = eng.retract(
             spark.createDataFrame([(victim.canon_url,)], "url string"), requeue=True
         )
         assert out == {"retracted": 1, "requeued": 1}
-        assert eng.seen().count() == before - 1
+        # membership retained: seen unchanged, store still hits — links to
+        # the requeued URL keep deduping while it waits in the frontier
+        assert eng.seen().count() == before
         assert (
-            eng.seen().filter(F.col("canon_url") == victim.canon_url).count() == 0
+            eng.seen().filter(F.col("canon_url") == victim.canon_url).count() == 1
         )
-        # the cuckoo store agrees (no stale membership hit for the victim)
         probed = (
             eng.frontier()
             .filter(F.col("canon_url") == victim.canon_url)
             .withColumn("h", eng._bloom_store.might_contain_col(F.col("url_hash")))
         )
-        assert probed.filter("h").count() == 0
+        assert probed.filter("h").count() == 1
         # next wave re-schedules the requeued row (same seq, new wave)
         next_wave = (eng.last_wave() or 0) + 1
         eng.run_wave(next_wave)
@@ -210,6 +216,24 @@ class TestEngineWiring:
             (F.col("wave") == next_wave) & (F.col("canon_url") == victim.canon_url)
         )
         assert reorder.count() == 1
+        assert reorder.collect()[0].seq == victim.seq
+
+        # forget path: seen shrinks and the cuckoo store deletes in place
+        before2 = eng.seen().count()  # the extra wave added new URLs
+        out2 = eng.retract(
+            spark.createDataFrame([(victim2.canon_url,)], "url string")
+        )
+        assert out2 == {"retracted": 1, "requeued": 0}
+        assert eng.seen().count() == before2 - 1
+        assert (
+            eng.seen().filter(F.col("canon_url") == victim2.canon_url).count() == 0
+        )
+        gone = (
+            eng.frontier()
+            .filter(F.col("canon_url") == victim2.canon_url)
+            .withColumn("h", eng._bloom_store.might_contain_col(F.col("url_hash")))
+        )
+        assert gone.filter("h").count() == 0
 
     def test_retract_rebuilds_bloom_store(self, spark, tmp_path):
         """Bloom bitmaps cannot delete: retract must rebuild the store

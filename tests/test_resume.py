@@ -138,3 +138,58 @@ def test_bucketed_bloom_staleness_remerge(spark, corpus, tmp_path):
     )
     resumed.run(max_waves=1)
     assert _state(straight) == _state(resumed)
+
+
+def test_crash_window_heal(spark, corpus, tmp_path):
+    """A wave commits frontier (merge) BEFORE seen (append); a crash
+    between the two leaves the wave's discoveries pending-but-unseen. On
+    resume the engine must heal the window — re-admitting those keys to
+    seen under their EXISTING seqs — and the finished crawl must equal an
+    uninterrupted run exactly (no double-numbering, no re-fetch)."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    straight = _mk_engine(spark, corpus, str(tmp_path / "cw_straight"))
+    straight.run(corpus["seeds"], max_waves=3)
+
+    crashed = _mk_engine(spark, corpus, str(tmp_path / "cw_crash"))
+    crashed.run(corpus["seeds"], max_waves=2)
+    # simulate the kill between wave 2's frontier and seen commits: drop
+    # seen's latest snapshot (manifest + pointer — what a death before the
+    # manifest write leaves behind; the orphan data dir is irrelevant, the
+    # reader keys off manifests)
+    tdir = os.path.join(str(tmp_path / "cw_crash"), "seen")
+    with open(os.path.join(tdir, "_LATEST")) as f:
+        sid = int(f.read().strip())
+    with open(os.path.join(tdir, f"s{sid:06d}.json")) as f:
+        dropped = json.load(f)
+    assert dropped["meta"].get("added", 0) > 0  # the wave discovered URLs
+    os.unlink(os.path.join(tdir, f"s{sid:06d}.json"))
+    shutil.rmtree(os.path.join(tdir, f"s{sid:06d}"), ignore_errors=True)
+    with open(os.path.join(tdir, "_LATEST"), "w") as f:
+        f.write(str(sid - 1))
+
+    resumed = _mk_engine(spark, corpus, str(tmp_path / "cw_crash"))
+    # pre-heal: pending frontier rows missing from seen (the bug window)
+    pending = resumed.frontier().filter(F.col("status") == "pending")
+    n_missing = pending.join(
+        resumed.seen().select("url_hash"), "url_hash", "left_anti"
+    ).count()
+    assert n_missing > 0
+    resumed.run(max_waves=1)
+    # healed: the invariant holds again ...
+    pending2 = resumed.frontier().filter(F.col("status") == "pending")
+    assert (
+        pending2.join(resumed.seen().select("url_hash"), "url_hash", "left_anti").count()
+        == 0
+    )
+    # ... the heal commit is recorded ...
+    heals = [
+        m for m in resumed.store.snapshots("seen") if m["meta"].get("healed")
+    ]
+    assert len(heals) == 1 and heals[0]["meta"]["added"] == dropped["meta"]["added"]
+    # ... and the final state equals the uninterrupted run exactly
+    assert _state(resumed) == _state(straight)
