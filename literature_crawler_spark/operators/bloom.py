@@ -64,12 +64,36 @@ def _probe_positions(hashes: np.ndarray, k: int, n_bits: int) -> np.ndarray:
     hottest instruction of the fused frontier probe (k=12 divides/row x
     8M rows/wave; measured ~2x whole-probe speedup from this change).
     """
-    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+    # a real raise, not an assert: python -O must not let a foreign or
+    # hand-edited _params.json mask positions with a wrong (n_bits-1) —
+    # that would be Bloom false negatives, i.e. silent re-crawls
+    if n_bits & (n_bits - 1) != 0:
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
     h = hashes.astype(np.int64).view(np.uint64)
     h1 = (h * _KM_MULT1) >> np.uint64(32)
     h2 = ((h * _KM_MULT2) >> np.uint64(32)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)[None, :]
     return ((h1[:, None] + i * h2[:, None]) & np.uint64(n_bits - 1)).astype(np.int64)
+
+
+def probe_bucketed(hn: np.ndarray, n_buckets: int, bucket_test) -> np.ndarray:
+    """Per-bucket membership-probe skeleton shared by the Bloom and cuckoo
+    stores (each bucket's filter lives in its own file keyed by
+    ``pmod(url_hash, n_buckets)``): zero-init output, Spark-pmod bucket
+    derivation, one ``bucket_test(bucket, sub_hashes)`` call per distinct
+    bucket. ``bucket_test`` returns a bool array, or None when the bucket
+    file is absent — no keys were ever merged there, so definitely not
+    contained."""
+    out = np.zeros(len(hn), dtype=bool)
+    if len(hn) == 0:
+        return out
+    buckets = np.mod(hn.astype(np.int64), n_buckets)  # == Spark pmod
+    for b in np.unique(buckets):
+        mask = buckets == b
+        res = bucket_test(int(b), hn[mask])
+        if res is not None:
+            out[mask] = res
+    return out
 
 
 def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -319,19 +343,15 @@ class BucketedBloomStore:
         contained. The instance is picklable (root + 3 ints), so it ships
         inside UDF closures; bitmaps load lazily through the process cache.
         """
-        out = np.zeros(len(hn), dtype=bool)
-        if len(hn) == 0:
-            return out
-        buckets = np.mod(hn.astype(np.int64), self.n_buckets)  # == Spark pmod
-        for b in np.unique(buckets):
-            bm = _load_bucket(os.path.join(self.root, f"b{int(b):05d}.bloom"))
+        def test(b: int, sub: np.ndarray) -> np.ndarray | None:
+            bm = _load_bucket(os.path.join(self.root, f"b{b:05d}.bloom"))
             if bm is None:
-                continue
-            mask = buckets == b
-            pos = _probe_positions(hn[mask], self.k, self.n_bits)
+                return None
+            pos = _probe_positions(sub, self.k, self.n_bits)
             bits = (bm[pos >> 3] >> (pos & 7)) & 1
-            out[mask] = bits.all(axis=1)
-        return out
+            return bits.all(axis=1)
+
+        return probe_bucketed(hn, self.n_buckets, test)
 
     def might_contain_col(self, hash_col: Column) -> Column:
         """Membership-test Column: a pandas UDF over ``probe_np``."""

@@ -353,17 +353,13 @@ class BucketedCuckooStore:
         as BucketedBloomStore.probe_np — shared by the pandas_udf probe and
         the fused canonicalize kernel). Picklable instance, lazy per-bucket
         table loads through the process cache."""
-        out = np.zeros(len(hn), dtype=bool)
-        if len(hn) == 0:
-            return out
-        buckets = np.mod(hn.astype(np.int64), self.n_buckets)
-        for b in np.unique(buckets):
-            arr = _load_table(os.path.join(self.root, f"b{int(b):05d}.cuckoo"))
-            if arr is None:
-                continue
-            mask = buckets == b
-            out[mask] = _Table(arr).contains(hn[mask])
-        return out
+        from literature_crawler_spark.operators.bloom import probe_bucketed
+
+        def test(b: int, sub: np.ndarray) -> np.ndarray | None:
+            arr = _load_table(os.path.join(self.root, f"b{b:05d}.cuckoo"))
+            return None if arr is None else _Table(arr).contains(sub)
+
+        return probe_bucketed(hn, self.n_buckets, test)
 
     def might_contain_col(self, hash_col: Column) -> Column:
         """Membership-test Column (same contract as the Bloom store's)."""

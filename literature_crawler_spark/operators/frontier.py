@@ -170,7 +170,8 @@ def canonicalize_candidates(
         return out.withColumn(
             "bucket", hashing.bucket_of(F.col("url_hash"), n_buckets)
         )
-    assert probe_store is None, "probe_store fusion requires impl='arrow'"
+    if probe_store is not None:  # real raise: -O must not silently unfuse
+        raise ValueError("probe_store fusion requires impl='arrow'")
     u = F.col(url_col)
     if base_host_col is not None:
         # trim BEFORE relative-resolution to match the Arrow kernel (which

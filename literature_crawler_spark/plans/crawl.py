@@ -299,27 +299,47 @@ class CrawlEngine:
         (copy-on-write delete; an Iceberg deploy writes position deletes
         instead — same semantics, same reader contract), so a later link
         re-discovery recrawls the URL from scratch under a NEW seq.
+        Only FETCHED rows are forgettable: a still-pending row has not
+        been crawled (there is nothing to forget), and removing its seen
+        key while the row stays scheduled would break the ``pending
+        frontier rows ⊆ seen`` invariant — the next wave would fetch it
+        under its old seq while link re-discovery re-admits it under a
+        new one (two frontier rows in one merge snapshot,
+        nondeterministic reader tie-break). In-flight rows are silently
+        excluded; recrawling one is ``requeue=True``'s job.
         Store maintenance follows the commit: a cuckoo store DELETEs the
         keys in place (its reason to exist); a Bloom store is rebuilt
         from the new seen (bitmaps cannot delete). Ordering keeps the
         superset invariant: the store is never behind seen — between
         commit and store maintenance it holds extra keys, which only
         cost wasted exact-join probes.
+
+        Returns ``{"matched": keys found eligible, "retracted": keys
+        removed from seen (0 under requeue), "requeued": frontier rows
+        flipped back to pending (0 under forget)}``.
         """
         seen = self.seen()
         if seen is None:
-            return {"retracted": 0, "requeued": 0}
+            return {"retracted": 0, "matched": 0, "requeued": 0}
         cand = fr.canonicalize_candidates(to_retract.select(F.col(url_col).alias("url")))
         keys = (
             cand.select("url_hash")
             .dropDuplicates(["url_hash"])
             .join(seen.select("url_hash"), "url_hash", "left_semi")
-            .persist()
         )
+        if not requeue:
+            frontier = self.frontier()
+            if frontier is not None:
+                keys = keys.join(
+                    frontier.filter(F.col("status") == "pending").select("url_hash"),
+                    "url_hash",
+                    "left_anti",
+                )
+        keys = keys.persist()
         n = keys.count()
         if n == 0:
             keys.unpersist()
-            return {"retracted": 0, "requeued": 0}
+            return {"retracted": 0, "matched": 0, "requeued": 0}
         if requeue:
             frontier = self.frontier()
             # only rows whose status actually changes count toward the
@@ -343,7 +363,7 @@ class CrawlEngine:
             )
             flip.unpersist()
             keys.unpersist()
-            return {"retracted": n, "requeued": n_requeued}
+            return {"retracted": 0, "matched": n, "requeued": n_requeued}
         remaining = seen.join(keys, "url_hash", "left_anti")
         prev_total = (self.store.latest("seen") or {}).get("meta", {}).get("total")
         if prev_total is None:
@@ -367,7 +387,7 @@ class CrawlEngine:
                 self._store_merge(self.seen().select("url_hash"))
             self._bloom_store.set_watermark(sid)
         keys.unpersist()
-        return {"retracted": n, "requeued": 0}
+        return {"retracted": n, "matched": n, "requeued": 0}
 
     def frontier(self) -> DataFrame | None:
         return self.store.read(self.spark, "frontier")
@@ -698,7 +718,22 @@ class CrawlEngine:
         missing = missing.persist()
         n = missing.count()
         if n and self._bloom_store is not None:  # superset invariant: store first
-            self._store_merge(missing.select("url_hash"))
+            delta = missing.select("url_hash")
+            if hasattr(self._bloom_store, "delete"):
+                # cuckoo insert is NOT idempotent, and the crash may have
+                # landed on EITHER side of the wave's pre-commit store
+                # merge — re-merging keys the store already holds would
+                # add duplicate fingerprints (occupancy creep, and a later
+                # retract delete() would remove only one copy). Insert
+                # only keys the store does not already hold; skipping a
+                # false positive is safe because the key is committed to
+                # seen right below, so the exact anti-join keeps covering
+                # it (the probe stage runs before the fold's writes —
+                # stage barrier — so probes always read pre-merge files).
+                delta = delta.filter(
+                    ~self._bloom_store.might_contain_col(F.col("url_hash"))
+                )
+            self._store_merge(delta)
         # commit even when n == 0 so seen's wave catches up — otherwise a
         # crashed zero-discovery wave would re-trigger this scan on every
         # resume forever

@@ -230,19 +230,43 @@ class _PairLeg:
         )
         self.seen_n = None
 
+    # generous per-protocol-line deadline: the slowest legitimate wait is
+    # @READY on the 4-JVM local-cluster leg (JVM spin-up + a 32M-key store
+    # merge, ~1-2 min); a leg that produces NOTHING for this long is
+    # wedged (e.g. a worker that never registers), and blocking forever
+    # here would hang bench.py's whole scaling block — kill it and raise
+    # so the caller's try/except still emits a bench artifact.
+    EXPECT_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_PAIR_TIMEOUT", "900"))
+
+    def _fail(self, tag: str, why: str) -> RuntimeError:
+        err_tail = ""
+        try:
+            with open(self._errf.name) as f:
+                err_tail = f.read()[-2000:]
+        except OSError:
+            pass
+        try:
+            self.proc.kill()
+        except OSError:
+            pass
+        return RuntimeError(
+            f"pair leg {self.master} {why} waiting for {tag}: {err_tail}"
+        )
+
     def _expect(self, tag: str) -> list[str]:
+        import select
+
+        deadline = time.time() + self.EXPECT_TIMEOUT_S
         while True:
+            wait = deadline - time.time()
+            if wait <= 0:
+                raise self._fail(tag, f"hung >{self.EXPECT_TIMEOUT_S:.0f}s")
+            r, _, _ = select.select([self.proc.stdout], [], [], min(wait, 30.0))
+            if not r:
+                continue
             line = self.proc.stdout.readline()
             if not line:
-                err_tail = ""
-                try:
-                    with open(self._errf.name) as f:
-                        err_tail = f.read()[-2000:]
-                except OSError:
-                    pass
-                raise RuntimeError(
-                    f"pair leg {self.master} died waiting for {tag}: {err_tail}"
-                )
+                raise self._fail(tag, "died")
             if line.startswith(tag):
                 return line.split()
 

@@ -196,7 +196,7 @@ class TestEngineWiring:
         out = eng.retract(
             spark.createDataFrame([(victim.canon_url,)], "url string"), requeue=True
         )
-        assert out == {"retracted": 1, "requeued": 1}
+        assert out == {"retracted": 0, "matched": 1, "requeued": 1}
         # membership retained: seen unchanged, store still hits — links to
         # the requeued URL keep deduping while it waits in the frontier
         assert eng.seen().count() == before
@@ -223,7 +223,7 @@ class TestEngineWiring:
         out2 = eng.retract(
             spark.createDataFrame([(victim2.canon_url,)], "url string")
         )
-        assert out2 == {"retracted": 1, "requeued": 0}
+        assert out2 == {"retracted": 1, "matched": 1, "requeued": 0}
         assert eng.seen().count() == before2 - 1
         assert (
             eng.seen().filter(F.col("canon_url") == victim2.canon_url).count() == 0

@@ -2,6 +2,7 @@
 final state (FIXTURES.md invariant 4; reference analogue: frozen Redis
 crawl_list reload, nature_protocol_crawl.py:67-88)."""
 
+import numpy as np
 import pytest
 
 from literature_crawler_spark.plans.crawl import CrawlEngine
@@ -193,3 +194,104 @@ def test_crash_window_heal(spark, corpus, tmp_path):
     assert len(heals) == 1 and heals[0]["meta"]["added"] == dropped["meta"]["added"]
     # ... and the final state equals the uninterrupted run exactly
     assert _state(resumed) == _state(straight)
+
+
+def test_crash_window_heal_cuckoo_single_copy(spark, corpus, tmp_path):
+    """The realistic crash lands AFTER the wave's store merge (store merge
+    runs before the seen commit), so the heal's keys are usually ALREADY
+    in the membership store. Cuckoo insert is not idempotent — a blind
+    re-merge would add a second fingerprint copy per key, and a later
+    retract delete() would remove only one of them, leaving a permanent
+    stale hit. The heal must therefore probe-filter its store delta:
+    after heal + fetch + forget, the store must MISS the key."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def mk(path):
+        return CrawlEngine(
+            spark, SnapshotStore(path), corpus["pages"], corpus["robots"],
+            corpus["politeness"], use_bloom="cuckoo",
+        )
+
+    p = str(tmp_path / "cw_ck")
+    crashed = mk(p)
+    crashed.run(corpus["seeds"], max_waves=2)
+    tdir = os.path.join(p, "seen")
+    with open(os.path.join(tdir, "_LATEST")) as f:
+        sid = int(f.read().strip())
+    with open(os.path.join(tdir, f"s{sid:06d}.json")) as f:
+        dropped = json.load(f)
+    assert dropped["meta"].get("added", 0) > 0
+    os.unlink(os.path.join(tdir, f"s{sid:06d}.json"))
+    shutil.rmtree(os.path.join(tdir, f"s{sid:06d}"), ignore_errors=True)
+    with open(os.path.join(tdir, "_LATEST"), "w") as f:
+        f.write(str(sid - 1))
+
+    resumed = mk(p)
+    healed_keys = (
+        resumed.frontier().filter(F.col("status") == "pending")
+        .join(resumed.seen().select("url_hash"), "url_hash", "left_anti")
+        .select("url_hash", "canon_url")
+        .collect()
+    )
+    assert healed_keys  # the crash window is open
+    # every healed key is already in the store (merged before the crash)
+    pre = resumed._bloom_store.probe_np(
+        np.array([r.url_hash for r in healed_keys], dtype=np.int64)
+    )
+    assert pre.all()
+    resumed.run(max_waves=1)  # heal + fetch (politeness-budgeted) pending rows
+
+    # pick a healed key wave 3 actually fetched (the politeness budget
+    # schedules only part of the backlog per wave) — it is now forgettable
+    healed_hashes = {r.url_hash for r in healed_keys}
+    fetched = [
+        r
+        for r in resumed.frontier()
+        .filter(F.col("status") != "pending")
+        .select("url_hash", "canon_url")
+        .collect()
+        if r.url_hash in healed_hashes
+    ]
+    assert fetched, "no healed key was scheduled in wave 3 — raise max_waves"
+    victim = fetched[0]
+    out = resumed.retract(
+        spark.createDataFrame([(victim.canon_url,)], "url string")
+    )
+    assert out["retracted"] == 1
+    # exactly one fingerprint copy existed: one delete clears the store
+    assert not resumed._bloom_store.probe_np(
+        np.array([victim.url_hash], dtype=np.int64)
+    )[0]
+
+
+def test_retract_forget_skips_pending_rows(spark, corpus, tmp_path):
+    """retract(requeue=False) must not forget a still-pending row: the
+    row has not been crawled (nothing to forget), and deleting its seen
+    key while it stays scheduled would break the ``pending frontier rows
+    ⊆ seen`` invariant the crash-window reconciler restores — the next
+    wave would fetch it under its old seq while link re-discovery
+    re-admits it under a new one."""
+    from pyspark.sql import functions as F
+
+    eng = _mk_engine(spark, corpus, str(tmp_path / "fp"))
+    eng.run(corpus["seeds"], max_waves=2)
+    pending = eng.frontier().filter(F.col("status") == "pending").limit(1).collect()
+    assert pending, "corpus exhausted before wave 2 — enlarge N_PAGES"
+    victim = pending[0]
+    before = eng.seen().count()
+    out = eng.retract(
+        spark.createDataFrame([(victim.canon_url,)], "url string")
+    )
+    assert out == {"retracted": 0, "matched": 0, "requeued": 0}
+    assert eng.seen().count() == before
+    # invariant intact: every pending frontier row still has its seen key
+    assert (
+        eng.frontier().filter(F.col("status") == "pending")
+        .join(eng.seen().select("url_hash"), "url_hash", "left_anti")
+        .count()
+        == 0
+    )
