@@ -76,6 +76,14 @@ def minhash_lsh_pairs(
     arrays exceed cluster cache; the three scans then recompute (CPU for
     memory).
     """
+    if n_perm % n_bands:
+        # silently banding only rows*n_bands of the n_perm signature
+        # values would shift the LSH threshold curve away from what the
+        # caller computed from (n_perm, n_bands) — fail loudly instead
+        raise ValueError(
+            f"n_bands ({n_bands}) must divide n_perm ({n_perm}); "
+            f"{n_perm % n_bands} permutations would be silently dropped"
+        )
     rows = n_perm // n_bands
     sig = _with_shingle_hashes(df, text_col, shingle_n).select(
         F.col(id_col).alias("_id"),
@@ -156,24 +164,39 @@ def simhash_near_dups(
     n_prefix_bits: int = 16,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash over word-token hashes,
-    candidate generation by 4 rotated 16-bit prefix buckets (any pair within
-    Hamming distance 3 shares at least one of 4 disjoint 16-bit blocks),
-    verify with exact Hamming distance.
+    candidate generation by ``max_hamming + 1`` disjoint bit blocks
+    (pigeonhole: ``d`` differing bits touch at most ``d`` blocks, so any
+    pair within Hamming distance ``d`` shares at least one of ``d+1``
+    blocks intact — 4 x 16-bit blocks at the default ``max_hamming=3``),
+    verify with exact Hamming distance. Deriving the block count from
+    ``max_hamming`` keeps the recall guarantee at every setting; a fixed
+    4-block split would silently lose pairs for ``max_hamming > 3``.
+    ``n_prefix_bits`` is retained for API compatibility but the widths
+    are derived (64 split as evenly as the block count allows).
     """
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     sims = df.select(
         F.col(id_col).alias("_id"),
         hashing.simhash64(
             F.transform(tx.word_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
         ).alias("simhash"),
     )
+    base, rem = divmod(64, n_blocks)
     blocks = []
-    for blk in range(4):
+    off = 0
+    for blk in range(n_blocks):
+        width = base + (1 if blk < rem else 0)
         blocks.append(
             sims.select(
                 "_id", "simhash", F.lit(blk).alias("block"),
-                F.shiftrightunsigned(F.col("simhash"), blk * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
             )
         )
+        off += width
     banded = blocks[0]
     for blb in blocks[1:]:
         banded = banded.unionByName(blb)

@@ -69,6 +69,10 @@ def merge_style_ranges(ranges: list[dict]) -> list[dict]:
     out = []
     for (offset, length), styles in by_span.items():
         if "bold" in styles and "italic" in styles:
+            # reference-exact: when bold+italic co-locate, ONLY
+            # bold_italic is emitted — a third co-located style
+            # (UNDERLINE, sup) is dropped with it
+            # (protocol_io_util.py:393-400 emits just the merged item)
             out.append({"style": "bold_italic", "offset": offset, "length": length})
         else:
             for s in styles:
@@ -498,6 +502,10 @@ def _render_nested(data, units: dict[str, str]) -> str:
             etype, edata = ent.get("type"), ent.get("data") or {}
             ctx = {"units": units, "slice": text[span[0] : span[1]]}
             if etype == "link":
+                # reference-exact (get_sub_clean_link_text,
+                # protocol_io_util.py:1227): nested links bold the WHOLE
+                # sub-block text and drop the URL — unlike the top-level
+                # renderer's [slice](url); not a wrong-variable bug here
                 repl[span] = f"\n<b>{text}</b>\n"
             elif etype in ("amount", "temperature", "concentration", "shaker"):
                 val = edata.get(
@@ -696,7 +704,19 @@ def render_steps(steps, units) -> str:
             return ""
     steps = [s for s in (steps or []) if s.get("number")]
     steps.sort(key=lambda s: natural_key(str(s["number"])))
-    steps.sort(key=lambda s: float(s["number"]))
+
+    # deviation: the reference calls float(x['number']) unguarded and
+    # crashes the task on a non-float number ('1.1.1', '2a'); here that
+    # would kill the whole Arrow batch, so unparseable numbers sort
+    # AFTER the floats in their natural-key order instead (identical
+    # output on every input the reference survives)
+    def _float_key(s):
+        try:
+            return (0, float(s["number"]))
+        except (TypeError, ValueError):
+            return (1, 0.0)
+
+    steps.sort(key=_float_key)
     seen_sections: set[str] = set()
     out = []
     for s in steps:

@@ -45,7 +45,13 @@ class _Shield:
         return ph
 
     def restore(self, text: str) -> str:
-        for ph, original in self.mapping.items():
+        # reverse insertion order: a LATER shield can swallow a region
+        # containing an EARLIER placeholder (sub/sup inside a table div),
+        # so later replacements must expand first or the nested
+        # placeholder would never be found and \x00PH..\x00 bytes would
+        # leak into the output; the converse cannot happen (a
+        # replacement string is captured before later placeholders exist)
+        for ph, original in reversed(self.mapping.items()):
             text = text.replace(ph, original)
         return text
 
@@ -54,10 +60,49 @@ def _strip_tags(s: str) -> str:
     return _html.unescape(re.sub(r"(?s)<[^>]+>", "", s)).strip()
 
 
+# opening-tag patterns; regions close at the MATCHING </div> via
+# _balanced_div_spans (a non-greedy .*?</div> stopped at the first
+# NESTED close, leaking reference-list tails into the article text)
 _SECTION_DROPS = [
-    r'(?is)<div[^>]*class="article-section article-section__references"[^>]*>.*?</div>',
-    r'(?is)<div[^>]*class="article-section article-section__citedBy[^"]*"[^>]*>.*?</div>',
+    r'(?is)<div[^>]*class="article-section article-section__references"[^>]*>',
+    r'(?is)<div[^>]*class="article-section article-section__citedBy[^"]*"[^>]*>',
 ]
+
+_DIV_TOKEN = re.compile(r"(?is)<div(?![\w-])[^>]*>|</div\s*>")
+
+
+def _balanced_div_spans(html: str, open_rx: str) -> list[tuple[int, int]]:
+    """[start, end) spans of <div> regions whose opening tag matches
+    ``open_rx``, closed by the matching ``</div>`` with nested divs
+    counted (mirrors html.parser's tree, which the reference's
+    BeautifulSoup ``decompose()`` operates on). An unclosed region runs
+    to end-of-string; an opener inside an already-claimed region is
+    skipped."""
+    spans: list[tuple[int, int]] = []
+    last_end = 0
+    for m in re.finditer(open_rx, html):
+        if m.start() < last_end:
+            continue
+        depth = 1
+        end = len(html)
+        for t in _DIV_TOKEN.finditer(html, m.end()):
+            depth += -1 if t.group(0).startswith("</") else 1
+            if depth == 0:
+                end = t.end()
+                break
+        spans.append((m.start(), end))
+        last_end = end
+    return spans
+
+
+def _replace_spans(html: str, spans: list[tuple[int, int]], repl) -> str:
+    out, cur = [], 0
+    for s, e in spans:
+        out.append(html[cur:s])
+        out.append(repl(html[s:e]))
+        cur = e
+    out.append(html[cur:])
+    return "".join(out)
 
 
 def protect(html: str, shield: _Shield) -> str:
@@ -65,14 +110,14 @@ def protect(html: str, shield: _Shield) -> str:
     formats mirror current_protocol_clean_util.py:211-475)."""
     # drop references / cited-by sections entirely (deal_section)
     for pat in _SECTION_DROPS:
-        html = re.sub(pat, "", html)
+        html = _replace_spans(html, _balanced_div_spans(html, pat), lambda _: "")
 
     # in-page anchors collapse to their text (:325-331)
-    html = re.sub(r'(?is)<a[^>]*href="#[^"]*"[^>]*>(.*?)</a>', r"\1", html)
+    html = re.sub(r'(?is)<a(?![\w-])[^>]*href="#[^"]*"[^>]*>(.*?)</a>', r"\1", html)
 
     # sub/sup survive verbatim (:276-283)
     html = re.sub(
-        r"(?is)<(su[bp])[^>]*>(.*?)</\1>",
+        r"(?is)<(su[bp])(?![\w-])[^>]*>(.*?)</\1>",
         lambda m: shield.add(f"<{m.group(1)}>{_strip_tags(m.group(2))}</{m.group(1)}>"),
         html,
     )
@@ -125,21 +170,23 @@ def protect(html: str, shield: _Shield) -> str:
 
     # computer-code tables -> fenced blocks; other tables stay raw HTML
     # (:252-259, 358-368, 388-396)
-    def table(m: re.Match) -> str:
-        body = m.group(0)
+    def table(body: str) -> str:
         if re.search(r'(?is)class="computerCode"', body):
             lines = "".join(
                 "\n" + _strip_tags(li)
-                for li in re.findall(r"(?is)<li[^>]*>(.*?)</li>", body)
+                for li in re.findall(r"(?is)<li(?![\w-])[^>]*>(.*?)</li>", body)
             )
             return shield.add(f"\n\n```\n{lines}\n```\n\n")
         return shield.add(body)
 
-    html = re.sub(
-        r'(?is)<div[^>]*class="(?:article-table-content|support-info__table-wrapper '
-        r'article-table-content-wrapper)"[^>]*>.*?</div>',
-        table,
+    html = _replace_spans(
         html,
+        _balanced_div_spans(
+            html,
+            r'(?is)<div[^>]*class="(?:article-table-content|'
+            r'support-info__table-wrapper article-table-content-wrapper)"[^>]*>',
+        ),
+        table,
     )
 
     # inline images (InlineGraphics alt / section_image class) (:370-386)
@@ -156,11 +203,11 @@ def protect(html: str, shield: _Shield) -> str:
             f'title="{title.group(1) if title else ""}"/>\n\n'
         )
 
-    html = re.sub(r"(?is)<img[^>]*>", inline_img, html)
+    html = re.sub(r"(?is)<img(?![\w-])[^>]*>", inline_img, html)
 
     # annotation paragraphs -> <Note> (:446-466)
     html = re.sub(
-        r'(?is)<p[^>]*class="annotation"[^>]*>(.*?)</p>',
+        r'(?is)<p(?![\w-])[^>]*class="annotation"[^>]*>(.*?)</p>',
         lambda m: shield.add(
             f'\n<Note title="Note" type="info">{_strip_tags(m.group(1))}</Note>\n'
         ),
@@ -170,17 +217,17 @@ def protect(html: str, shield: _Shield) -> str:
     # type="a" ordered lists -> numbered markdown; plain lists -> bullets
     # (:398-403, 437-443 via process_tag_to_md_*)
     def ol(m: re.Match) -> str:
-        items = re.findall(r"(?is)<li[^>]*>(.*?)</li>", m.group(1))
+        items = re.findall(r"(?is)<li(?![\w-])[^>]*>(.*?)</li>", m.group(1))
         body = "".join(f"{i + 1}. {_strip_tags(t)}\n" for i, t in enumerate(items))
         return shield.add("\n" + body)
 
-    html = re.sub(r'(?is)<ol[^>]*type="a"[^>]*>(.*?)</ol>', ol, html)
+    html = re.sub(r'(?is)<ol(?![\w-])[^>]*type="a"[^>]*>(.*?)</ol>', ol, html)
 
     def ul(m: re.Match) -> str:
-        items = re.findall(r"(?is)<li[^>]*>(.*?)</li>", m.group(1))
+        items = re.findall(r"(?is)<li(?![\w-])[^>]*>(.*?)</li>", m.group(1))
         return shield.add("\n" + "".join(f"* {_strip_tags(t)}\n" for t in items))
 
-    html = re.sub(r'(?is)<ul[^>]*class="plain-list"[^>]*>(.*?)</ul>', ul, html)
+    html = re.sub(r'(?is)<ul(?![\w-])[^>]*class="plain-list"[^>]*>(.*?)</ul>', ul, html)
 
     return html
 
@@ -202,20 +249,20 @@ def markdown_core(html: str) -> str:
             lambda m, i=i: "\n\n" + "#" * i + " " + _strip_tags(m.group(1)) + "\n\n",
             s,
         )
-    s = re.sub(r"(?is)<(b|strong)[^>]*>(.*?)</\1>",
+    s = re.sub(r"(?is)<(b|strong)(?![\w-])[^>]*>(.*?)</\1>",
                lambda m: "**" + _strip_tags(m.group(2)) + "**", s)
-    s = re.sub(r"(?is)<(i|em)[^>]*>(.*?)</\1>",
+    s = re.sub(r"(?is)<(i|em)(?![\w-])[^>]*>(.*?)</\1>",
                lambda m: "_" + _strip_tags(m.group(2)) + "_", s)
-    s = re.sub(r"(?is)<(code|tt)[^>]*>(.*?)</\1>",
+    s = re.sub(r"(?is)<(code|tt)(?![\w-])[^>]*>(.*?)</\1>",
                lambda m: "`" + _strip_tags(m.group(2)) + "`", s)
-    s = re.sub(r"(?is)<pre[^>]*>(.*?)</pre>",
+    s = re.sub(r"(?is)<pre(?![\w-])[^>]*>(.*?)</pre>",
                lambda m: "\n```\n" + _strip_tags(m.group(1)) + "\n```\n", s)
     s = re.sub(
-        r'(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
+        r'(?is)<a(?![\w-])[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
         lambda m: f"[{_strip_tags(m.group(2))}]({m.group(1)})",
         s,
     )
-    s = re.sub(r"(?is)<li[^>]*>(.*?)</li>", lambda m: "\n* " + _strip_tags(m.group(1)), s)
+    s = re.sub(r"(?is)<li(?![\w-])[^>]*>(.*?)</li>", lambda m: "\n* " + _strip_tags(m.group(1)), s)
     for pat, rep in _BLOCK_BREAKS:
         s = pat.sub(rep, s)
     s = re.sub(r"(?s)<[^>]+>", "", s)

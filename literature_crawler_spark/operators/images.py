@@ -355,9 +355,10 @@ def sample_video_frames(
                             "n_frames": n,
                             "w": w,
                             "h": h,
-                            "phash": np.int64(
-                                np.uint64(phash64_pixels(px)).astype(np.int64)
-                            ) if px is not None else None,
+                            # phash64_pixels already returns the signed
+                            # 64-bit view; a uint64 round-trip would raise
+                            # on negative hashes under NumPy >= 2
+                            "phash": phash64_pixels(px) if px is not None else None,
                             "frame": frames[idx],
                         }
                     )

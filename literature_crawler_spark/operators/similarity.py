@@ -130,9 +130,16 @@ def _add_multi_buckets(
         b = bits @ weights  # (n, n_tables) bucket ids
         return pd.Series(list(b.astype(np.int32).tolist()))
 
+    # NULL or mis-sized embeddings (join artifacts, truncated writes) would
+    # make np.array(vecs.tolist()) ragged and crash the whole Arrow batch;
+    # they cannot participate in similarity anyway, so drop them JVM-side
+    # before the matmul (cheap codegen filter, no extra crossing)
+    clean = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
     return (
-        df.withColumn("_bk", _buckets(F.col(vec_col)))
-        .select(*df.columns, F.posexplode("_bk").alias("tbl", "bucket"))
+        clean.withColumn("_bk", _buckets(F.col(vec_col)))
+        .select(*clean.columns, F.posexplode("_bk").alias("tbl", "bucket"))
     )
 
 

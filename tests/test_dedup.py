@@ -62,3 +62,62 @@ def test_exact_dedup_on_documents_table(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     kept = dedup.dedup_exact_keep_first(df, "text", "doc_id").count()
     assert 0 < kept <= df.count()
+
+
+def test_simhash_blocks_scale_with_max_hamming(spark):
+    """Candidate blocks derive from max_hamming (d+1 disjoint blocks):
+    a pair at Hamming distance 5 whose differing bits land in 5 distinct
+    16-bit quarters would NEVER share a block under a fixed 4-block
+    split, but must be found with max_hamming=5. Cross-checked against
+    the brute-force all-pairs Hamming filter on the same hashes."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from literature_crawler_spark.functions import hashing, text as tx
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    words = base.split()
+    texts = [" ".join(words)]
+    for i in range(12):
+        w = list(words)
+        w[i * 2 % len(w)] = f"tok{i}"
+        if i % 3 == 0:
+            w[(i * 5 + 7) % len(w)] = f"alt{i}"
+        texts.append(" ".join(w))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sims = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id",
+            hashing.simhash64(
+                F.transform(tx.word_tokens(F.col("text")), lambda t: F.xxhash64(t))
+            ).alias("sh"),
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for d in (3, 5, 6):
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sims), 2)
+            if ham(sims[a], sims[b]) <= d
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_near_dups(
+                docs, "text", "doc_id", max_hamming=d
+            ).collect()
+        }
+        assert got == want, f"max_hamming={d}: {got ^ want}"
+
+
+def test_minhash_rejects_non_divisible_bands(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(docs, "text", "doc_id", n_perm=64, n_bands=10)

@@ -126,3 +126,52 @@ def test_convert_documents_udf(spark):
     rows = {r.doc_id: r.content_md for r in hm.convert_documents(df, "html").collect()}
     assert rows[1] == "# T\n\na **b**"
     assert rows[2] is None
+
+
+# --------------------------------------------- tag-grammar regressions --
+
+
+def test_br_body_not_swallowed_by_emphasis():
+    """<br>/<body>/<blockquote> must not parse as a bold-open (and
+    <img>/<iframe> not as italic): the emphasis regex needs a word
+    boundary after the tag name or everything up to the next close tag
+    is swallowed into one ** span."""
+    out = md("<p>line one<br>line two</p><p>end <b>bold</b> tail</p>")
+    assert "**bold**" in out and "line two" in out and "**line" not in out
+    out2 = md("<body><p>pic <img src='x'> here <i>it</i></p></body>")
+    assert "_it_" in out2 and "**" not in out2
+
+
+def test_nested_placeholder_restores():
+    """A sub/sup shielded BEFORE a table div that contains it must still
+    restore — placeholder restore walks newest-first so outer regions
+    expand before the placeholders nested inside them."""
+    out = md(
+        '<div class="article-table-content"><table><tr><td>'
+        "H<sub>2</sub>O</td></tr></table></div>"
+    )
+    assert "\x00" not in out
+    assert "<sub>2</sub>" in out
+
+
+def test_reference_section_with_nested_divs_fully_dropped():
+    """deal_section semantics: the references div is removed as a TREE
+    (BeautifulSoup decompose) — nested inner divs must not cut the drop
+    short and leak reference text into the article."""
+    out = md(
+        '<div class="article-section article-section__references">'
+        "<div>Ref 1 text</div><div>Ref 2 text</div></div><p>real content</p>"
+    )
+    assert out == "real content"
+
+
+def test_table_shield_spans_nested_divs():
+    """A table wrapper containing inner divs shields the WHOLE region
+    verbatim, not just up to the first inner close."""
+    html = (
+        '<div class="article-table-content"><div class="inner">'
+        "<table><tr><td>cell <b>x</b></td></tr></table></div></div>after"
+    )
+    out = md(html)
+    assert "<b>x</b>" in out  # raw HTML preserved, not converted to **x**
+    assert out.endswith("after")

@@ -127,3 +127,22 @@ def test_kmeans_cells_deterministic(spark, emb):
     c2 = sim.kmeans_cells(emb, n_cells=4, n_iter=2)
     assert c1 == c2
     assert len(c1) == 4 and len(c1[0]) == len(emb.first().embedding)
+
+
+def test_lsh_ignores_null_and_ragged_embeddings(spark):
+    """NULL or wrong-dimension embeddings (join artifacts) must be
+    dropped JVM-side before the signature matmul — a ragged
+    np.array(vecs.tolist()) would crash the whole Arrow batch."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0, 0.0]),
+        (3, None),
+        (4, [1.0, 0.0]),  # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.lsh_topk(
+        df, df.filter(F.col("vec_id") == 1), dim=4, k=2, n_planes=4, n_tables=8
+    ).collect()
+    ids = {r.vec_id for r in out}
+    assert 1 in ids  # self-match survives
+    assert 3 not in ids and 4 not in ids  # bad rows ignored, no crash
