@@ -2054,14 +2054,16 @@ def oracle_sql() -> dict[str, str]:
               FROM parsed
             )
             SELECT record_id,
-                   max(CASE WHEN tag = 'TY' THEN val END) AS type,
-                   coalesce(max(CASE WHEN tag = 'TI' THEN val END),
-                            max(CASE WHEN tag = 'T1' THEN val END)) AS title,
-                   max(CASE WHEN tag = 'DO' THEN val END) AS doi,
-                   max(CASE WHEN tag = 'UR' THEN val END) AS url,
-                   coalesce(string_agg(val, '|' ORDER BY val)
+                   -- scalar tags keep the LAST occurrence (the reference's
+                   -- dict overwrite); multi-value tags keep DOCUMENT order
+                   arg_max(val, pos) FILTER (WHERE tag = 'TY') AS type,
+                   coalesce(arg_max(val, pos) FILTER (WHERE tag = 'TI'),
+                            arg_max(val, pos) FILTER (WHERE tag = 'T1')) AS title,
+                   arg_max(val, pos) FILTER (WHERE tag = 'DO') AS doi,
+                   arg_max(val, pos) FILTER (WHERE tag = 'UR') AS url,
+                   coalesce(string_agg(val, '|' ORDER BY pos)
                             FILTER (WHERE tag IN ('AU', 'A1', 'A2')), '') AS authors_joined,
-                   coalesce(string_agg(val, '|' ORDER BY val)
+                   coalesce(string_agg(val, '|' ORDER BY pos)
                             FILTER (WHERE tag = 'KW'), '') AS keywords_joined
             FROM rec WHERE tag <> 'ER'
             GROUP BY record_id ORDER BY record_id

@@ -106,13 +106,11 @@ def extract_abstract(html: Column) -> Column:
 
 def extract_issue(html: Column) -> Column:
     """citation_issue meta content (reference get_issue_by_html,
-    nature_protocol_clean_util.py:100-105); attribute order free."""
-    name_first = r'(?is)<meta[^>]*name=["\']citation_issue["\'][^>]*content=["\']([^"\']*)["\']'
-    content_first = r'(?is)<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']citation_issue["\']'
-    return F.coalesce(
-        F.nullif(F.trim(F.regexp_extract(html, name_first, 1)), F.lit("")),
-        F.nullif(F.trim(F.regexp_extract(html, content_first, 1)), F.lit("")),
-    )
+    nature_protocol_clean_util.py:100-105); attribute order free, content
+    quotes paired per alternative (see functions/html.py extract_meta)."""
+    from literature_crawler_spark.functions.html import extract_meta
+
+    return F.nullif(F.trim(extract_meta(html, "citation_issue")), F.lit(""))
 
 
 def document_attachment_attrs(documents: Column) -> Column:

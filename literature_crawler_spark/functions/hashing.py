@@ -64,7 +64,11 @@ def minhash_signature(shingle_hashes: Column, n_perm: int = 64, seed: int = 42) 
             lambda x: (F.pmod(x, F.lit(_MERSENNE31)) * F.lit(a) + F.lit(b))
             % F.lit(_MERSENNE31),
         )
-        sig.append(F.array_min(h))
+        # coalesce implements the documented empty-array sentinel:
+        # array_min([]) is NULL, and NULL signature slots would silently
+        # drop empty docs from element-wise comparisons (NULL = NULL ->
+        # NULL) while concat_ws-based band keys skipped them to ''
+        sig.append(F.coalesce(F.array_min(h), F.lit(_MERSENNE31)))
     return F.array(*sig)
 
 

@@ -30,16 +30,22 @@ def extract_meta(html: Column, name: str) -> Column:
     """content="" of a <meta name=...> tag (reference description/type
     extraction). HTML attribute order is arbitrary, so both
     ``name=... content=...`` and ``content=... name=...`` forms match
-    (BeautifulSoup's attribute lookup is order-free)."""
-    name_first = (
-        r'(?is)<meta[^>]*name=["\']' + name + r'["\'][^>]*content=["\']([^"\']*)["\']'
-    )
-    content_first = (
-        r'(?is)<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']' + name + r'["\']'
-    )
+    (BeautifulSoup's attribute lookup is order-free). The content quotes
+    are PAIRED per alternative — a ["'] char class on both sides would
+    truncate a double-quoted value at its first apostrophe
+    (content="O'Brien et al" -> "O") — without backreferences, so the
+    patterns stay RE2-compatible for the DuckDB oracle twin."""
+    pats = []
+    for q in ('"', "'"):
+        pats.append(
+            rf'(?is)<meta[^>]*name=["\']{name}["\'][^>]*content={q}([^{q}]*){q}'
+        )
+    for q in ('"', "'"):
+        pats.append(
+            rf'(?is)<meta[^>]*content={q}([^{q}]*){q}[^>]*name=["\']{name}["\']'
+        )
     return F.coalesce(
-        F.nullif(F.regexp_extract(html, name_first, 1), F.lit("")),
-        F.nullif(F.regexp_extract(html, content_first, 1), F.lit("")),
+        *[F.nullif(F.regexp_extract(html, p, 1), F.lit("")) for p in pats]
     )
 
 

@@ -49,8 +49,27 @@ def pair_figures_with_previews(
     full = marked.filter(F.col("is_full")).select(
         "stem", F.col("_id").alias("full_id"), F.col("_path").alias("full_path")
     )
-    prev = marked.filter(~F.col("is_full")).select(
-        "stem", F.col("_id").alias("preview_id"), F.col("_path").alias("preview_path")
+    # exactly ONE preview per stem ("matched to its preview variant",
+    # singular): a stem with several non-full variants (preview + thumb +
+    # unmarked original) would otherwise fan the full figure out into
+    # duplicate rows. Prefer the explicit preview marker, then thumb,
+    # then path order — deterministic across runs.
+    prev = (
+        marked.filter(~F.col("is_full"))
+        .withColumn(
+            "_pref",
+            F.when(F.col("_path").rlike(r"[_-]preview\."), F.lit(0))
+            .when(F.col("_path").rlike(r"[_-]thumb\."), F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("stem").orderBy("_pref", "_path")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "stem", F.col("_id").alias("preview_id"), F.col("_path").alias("preview_path")
+        )
     )
     return full.join(prev, "stem", "left")
 

@@ -85,10 +85,20 @@ def wave_cadence_ok(politeness: DataFrame, wave_period_ms: int) -> DataFrame:
     """Hosts whose (budget, min_interval) fit the wave period — i.e.
     budget_per_wave * min_interval_ms <= wave_period_ms. Used to derive a
     compliant per-wave budget when the configured one is too aggressive."""
+    # try_divide/try_cast: 'Crawl-delay: 0' produces min_interval_ms = 0,
+    # which must mean "no per-request spacing" (budget_per_wave wins),
+    # not an ANSI DIVIDE_BY_ZERO abort of the wave-budget derivation
     return politeness.withColumn(
         "effective_budget",
         F.least(
             F.col("budget_per_wave"),
-            F.greatest((F.lit(wave_period_ms) / F.col("min_interval_ms")).cast("int"), F.lit(1)),
+            F.greatest(
+                F.coalesce(
+                    F.try_divide(F.lit(wave_period_ms), F.col("min_interval_ms"))
+                    .try_cast("int"),
+                    F.col("budget_per_wave"),
+                ),
+                F.lit(1),
+            ),
         ),
     )

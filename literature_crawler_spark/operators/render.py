@@ -62,7 +62,10 @@ def ordered_steps(steps: Column) -> Column:
     keyed = F.transform(
         steps,
         lambda s: F.struct(
-            F.coalesce(s["number"].cast("double"), F.lit(1e18)).alias("k"),
+            # try_cast: under Spark 4's default ANSI mode a plain cast
+            # THROWS on '2a'/'1.2.3' instead of yielding the NULL this
+            # coalesce was written for
+            F.coalesce(s["number"].try_cast("double"), F.lit(1e18)).alias("k"),
             s.alias("s"),
         ),
     )

@@ -44,18 +44,45 @@ def read_ris(spark: SparkSession, path: str) -> DataFrame:
         "record_id",
         F.coalesce(F.sum(F.when(F.col("tag") == "ER", 1).otherwise(0)).over(w), F.lit(0)),
     ).filter(F.col("tag") != "ER")
+    # Repeated scalar tags keep the LAST occurrence — the reference's dict
+    # assignment (parse_entry: data[key] = value) overwrites — and a second
+    # 'UR'/'N1' line must not abort the read (map_from_entries raises
+    # DUPLICATED_MAP_KEY on dup keys under Spark's default policy).
+    wtag = Window.partitionBy("file", "record_id", "tag").orderBy(
+        F.col("line_id").desc()
+    )
+    rec = rec.withColumn("_last", F.row_number().over(wtag) == 1)
+
+    def _ordered_vals(cond):
+        # multi-value tags accumulate in DOCUMENT order (the reference
+        # appends as it scans; first-author order is load-bearing) —
+        # collect (line_id, val) structs and sort by position, never by
+        # value
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        cond,
+                        F.struct(
+                            F.col("line_id").alias("pos"), F.col("val").alias("v")
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        )
+
     agg = rec.groupBy("file", "record_id").agg(
         F.map_from_entries(
             F.collect_list(
-                F.when(~F.col("tag").isin(MULTI_TAGS), F.struct("tag", "val"))
+                F.when(
+                    ~F.col("tag").isin(MULTI_TAGS) & F.col("_last"),
+                    F.struct("tag", "val"),
+                )
             )
         ).alias("fields"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("tag").isin("AU", "A1", "A2"), F.col("val")))
-        ).alias("authors"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("tag") == "KW", F.col("val")))
-        ).alias("keywords"),
+        _ordered_vals(F.col("tag").isin("AU", "A1", "A2")).alias("authors"),
+        _ordered_vals(F.col("tag") == "KW").alias("keywords"),
     )
     return agg.select(
         "file",

@@ -133,16 +133,24 @@ def crawl_delay_of(
 ) -> DataFrame:
     """(host, min_interval_ms) from Crawl-delay lines (seconds -> ms);
     feeds ``politeness``. Group-applicability matches parse_robots_txt."""
+    # comment-strip + blank/garbage-line drop BEFORE grouping, exactly as
+    # parse_robots_txt does — keeping unparsed lines here would let a
+    # comment or blank line between consecutive User-agent lines split
+    # the UA run, silently losing the group's Crawl-delay
     lines = robots_bodies.select(
         F.col(host_col).alias("host"),
         F.posexplode(_lines(F.col(body_col))).alias("pos", "line"),
-    )
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
     parsed = lines.select(
         "host",
         "pos",
-        F.lower(F.regexp_extract("line", r"(?i)^\s*([a-z-]+)\s*:", 1)).alias("field"),
-        F.trim(F.regexp_replace(F.regexp_extract("line", r"(?i)^\s*[a-z-]+\s*:\s*(.*)$", 1), r"#.*$", "")).alias("value"),
-    )
+        F.lower(F.regexp_extract("line", r"(?i)^([a-z-]+)\s*:", 1)).alias("field"),
+        F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    ).filter(F.col("field") != "")
     grouped = _with_groups(parsed)
     applicable = _applicable_groups(grouped, agent)
     return (
@@ -150,7 +158,13 @@ def crawl_delay_of(
         .join(applicable, ["host", "grp"])
         .select(
             "host",
-            (F.col("value").cast("double") * 1000).cast("int").alias("min_interval_ms"),
+            # try_cast: a garbage 'Crawl-delay: abc' must read as absent,
+            # not abort the politeness build (plain cast throws under
+            # Spark 4's default ANSI mode, making the isNotNull filter
+            # below dead code)
+            (F.col("value").try_cast("double") * 1000)
+            .try_cast("int")
+            .alias("min_interval_ms"),
         )
         .filter(F.col("min_interval_ms").isNotNull())
         .groupBy("host")

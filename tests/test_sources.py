@@ -18,8 +18,10 @@ def test_ris_parse(spark):
     assert r0.title == "A reproducible protocol for widget assembly"
     assert r0.doi == "10.1002/cpz1.1001"
     assert r0.url == "https://example.org/articles/widget-assembly"
-    assert r0.authors == ["Doe, John", "Smith, Jane"]
-    assert r0.keywords == ["assembly", "widgets"]
+    # document order (reference parse_entry appends as it scans — first-
+    # author order is semantically load-bearing), NOT alphabetical
+    assert r0.authors == ["Smith, Jane", "Doe, John"]
+    assert r0.keywords == ["widgets", "assembly"]
     assert recs[2].title == "Chapter on staining methods"  # T1 fallback
     assert recs[1].keywords == ["pipelines"]
 
