@@ -57,21 +57,24 @@ def seed_ingest_stream(
             F.lit(0).alias("priority"),
             (F.lit(max_seq) + F.monotonically_increasing_id()).alias("seq"),
             F.lit(-1).alias("wave"), F.lit("pending").alias("status"),
-        )
-        n = rows.count()
-        if n == 0:
-            return
-        # MERGE delta (new rows only) — the streaming twin of the wave
-        # loop's O(scheduled + new) commits; no full-frontier rewrite
-        store.commit(
-            "frontier", rows, mode="merge", wave=-1,
-            meta={"stream_batch": batch_id, "delta_rows": n},
-            merge_key=["url_hash"],
-        )
-        store.commit(
-            "seen", rows.select("url_hash", "canon_url", "bucket", "wave"),
-            mode="append", wave=-1, meta={"added": n},
-        )
+        ).persist()  # count + 2 commits below read ONE materialization
+        try:
+            n = rows.count()
+            if n == 0:
+                return
+            # MERGE delta (new rows only) — the streaming twin of the wave
+            # loop's O(scheduled + new) commits; no full-frontier rewrite
+            store.commit(
+                "frontier", rows, mode="merge", wave=-1,
+                meta={"stream_batch": batch_id, "delta_rows": n},
+                merge_key=["url_hash"],
+            )
+            store.commit(
+                "seen", rows.select("url_hash", "canon_url", "bucket", "wave"),
+                mode="append", wave=-1, meta={"added": n},
+            )
+        finally:
+            rows.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)
