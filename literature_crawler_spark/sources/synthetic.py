@@ -59,6 +59,24 @@ def page_index_of_url(url: str, n_hosts: int) -> int | None:
     return i
 
 
+def page_image_size(
+    i: int, min_side: int = 16, max_side: int = 48, seed: int = 42
+) -> tuple[int, int]:
+    """(w, h) of page i's image — the single source of truth shared by
+    ``generate_pages`` and the browser-renderer's screenshot stand-in
+    (operators/browser.py), so screenshot-vs-origin PSNR compares the
+    same pixel field."""
+    span = max_side - min_side
+    return (min_side + (i * 13 + seed) % span, min_side + (i * 29 + seed) % span)
+
+
+def page_image_pixels(
+    i: int, min_side: int = 16, max_side: int = 48, seed: int = 42
+) -> np.ndarray:
+    w, h = page_image_size(i, min_side, max_side, seed)
+    return pixels_for_id(f"img-{i:010d}", w, h)
+
+
 def _caption_of_index(i: int) -> str:
     w = [_WORDS[(i * 7 + k * 13) % len(_WORDS)] for k in range(5 + i % 4)]
     return f"Figure {i % 9 + 1}: " + " ".join(w)
@@ -107,9 +125,7 @@ def generate_pages(
                 host = f"h{_host_of_index(i, n_hosts)}.example.org"
                 fmt = "png" if i % 20 < 14 else ("jpeg" if i % 20 < 19 else "gif")
                 if with_images:
-                    span = max_side - min_side
-                    w = min_side + (i * 13 + seed) % span
-                    h = min_side + (i * 29 + seed) % span
+                    w, h = page_image_size(i, min_side, max_side, seed)
                     px = pixels_for_id(image_id, w, h)
                     blob = encode_image(px, fmt)
                     ph = phash64_pixels(px)

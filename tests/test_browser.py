@@ -1,0 +1,161 @@
+"""Browser-rendered fetch (S6): readiness settle ladder, lazy-attribute
+promotion, figure screenshot + crop fidelity, resource dedup by name.
+
+Reference semantics under test: ``app/util/current_protocol_crawl_util.py``
+39-130 (WebDriverWait readiness, scroll-settle, data-lg-src figure
+extraction, screenshot + remove_black_border + original_name dedup,
+browser recycle every 8 navigations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from literature_crawler_spark.operators import browser as br
+from literature_crawler_spark.operators import fetch as fetch_mod
+from literature_crawler_spark.sources import synthetic as syn
+
+N_PAGES, N_HOSTS = 60, 5
+
+
+def _scheduled(spark, n=N_PAGES):
+    rows = [(syn._url_of_index(i, N_HOSTS), i % 7) for i in range(n)]
+    return spark.createDataFrame(rows, "canon_url string, salt int")
+
+
+def test_readiness_settle_ladder(spark):
+    rendered = br.rendered_fetch_extract(
+        _scheduled(spark),
+        br.make_synthetic_renderer(N_PAGES, N_HOSTS, settle_every=4),
+        settle_attempts=3,
+    ).collect()
+    assert len(rendered) == N_PAGES
+    for r in rendered:
+        i = syn.page_index_of_url(r.canon_url, N_HOSTS)
+        assert r.fetch_status == "rendered"
+        # every 4th page's DOM needs one extra settle round
+        assert r.attempts == (2 if i % 4 == 0 else 1), r
+
+
+def test_readiness_timeout_marks_not_raises(spark):
+    rendered = br.rendered_fetch_extract(
+        _scheduled(spark),
+        br.make_synthetic_renderer(N_PAGES, N_HOSTS, settle_every=4),
+        settle_attempts=1,
+    ).collect()
+    timed_out = {
+        syn.page_index_of_url(r.canon_url, N_HOSTS)
+        for r in rendered
+        if r.fetch_status == "timeout"
+    }
+    assert timed_out == {i for i in range(N_PAGES) if i % 4 == 0}
+    for r in rendered:
+        if r.fetch_status == "timeout":
+            assert r.caption is None and r.figures is None
+
+
+def test_lazy_promotion_and_figure_extraction(spark):
+    # raw DOM: no readiness pane, figure img lazy (data-lg-src, no src)
+    raw = br.raw_html_of_index(0, N_HOSTS)
+    assert "pane-pcw-relatedcon" not in raw
+    assert "data-lg-src=" in raw and "<img src=" not in raw
+    # rendered DOM: pane present, src promoted, data-lg-src retained
+    done = br.rendered_html_of_index(0, N_HOSTS)
+    assert "pane-pcw-relatedcon" in done
+    assert "<img src=" in done and "data-lg-src=" in done
+
+    rendered = br.rendered_fetch_extract(
+        _scheduled(spark), br.make_synthetic_renderer(N_PAGES, N_HOSTS)
+    ).collect()
+    for r in rendered:
+        i = syn.page_index_of_url(r.canon_url, N_HOSTS)
+        host = r.canon_url.split("/page/")[0]
+        path = br._figure_path_of_index(i)
+        expect = [host + path] if path else []
+        assert list(r.figures) == expect, (i, r.figures)
+        assert r.content and "pagefulltext" in r.content
+
+
+def test_rendered_superset_of_plain_fetch(spark):
+    """On settled pages S6 returns exactly what S4 returns, plus the
+    rendered-DOM columns — the two fetch stages agree on the shared
+    contract (caption/links/image_id)."""
+    plain = fetch_mod.fetch_extract(
+        _scheduled(spark), fetch_mod.make_synthetic_fetcher(N_PAGES, N_HOSTS)
+    ).select("canon_url", "image_id", "caption", "links")
+    rich = br.rendered_fetch_extract(
+        _scheduled(spark), br.make_synthetic_renderer(N_PAGES, N_HOSTS)
+    ).select("canon_url", "image_id", "caption", "links")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, rich.collect()))
+
+
+def test_screenshot_crop_restores_origin_dims_and_psnr(spark):
+    rendered = br.rendered_fetch_extract(
+        _scheduled(spark), br.make_synthetic_renderer(N_PAGES, N_HOSTS)
+    )
+    figs = rendered.select(F.explode("figures").alias("figure_url"))
+    shots = br.screenshot_figures(figs, border=4).cache()
+    try:
+        rows = shots.collect()
+        assert rows and all(r.fmt == "jpeg" for r in rows)
+        for r in rows:
+            i = int(br._FIGURE_URL_RE.match(r.figure_url).group(2))
+            w, h = syn.page_image_size(i)
+            # the black letterbox border is fully cropped away
+            assert (r.w, r.h) == (w, h), r.figure_url
+        fid = br.screenshot_fidelity(shots).collect()
+        assert all(f.psnr_vs_origin >= 40.0 for f in fid), min(
+            f.psnr_vs_origin for f in fid
+        )
+    finally:
+        shots.unpersist()
+
+
+def test_screenshot_browser_recycling(spark):
+    figs = spark.createDataFrame(
+        [(f"https://h1.example.org/figures/fig{i:08d}.jpg",) for i in range(7)],
+        "figure_url string",
+    ).coalesce(1)
+    rows = br.screenshot_figures(figs, recycle_every=2).collect()
+    # 7 navigations in one partition, recycle every 2: sessions 0..3
+    assert sorted(r.browser_session for r in rows) == [0, 0, 1, 1, 2, 2, 3]
+
+
+def test_new_figures_dedup_by_original_name(spark):
+    figs = spark.createDataFrame(
+        [(f"https://h1.example.org/figures/fig{i:08d}.jpg",) for i in range(6)],
+        "figure_url string",
+    )
+    resources = spark.createDataFrame(
+        [("fig00000000.jpg",), ("fig00000003.jpg",)], "original_name string"
+    )
+    fresh = br.new_figures(figs, resources).collect()
+    names = sorted(r.original_name for r in fresh)
+    assert names == [f"fig{i:08d}.jpg" for i in (1, 2, 4, 5)]
+    # after storing everything, a second pass costs zero navigations
+    all_named = figs.withColumn(
+        "original_name", F.element_at(F.split("figure_url", "/"), -1)
+    ).select("original_name")
+    assert br.new_figures(figs, all_named).count() == 0
+
+
+def test_selenium_swap_point_gated():
+    with pytest.raises(NotImplementedError):
+        br.make_selenium_renderer()
+
+
+def test_pixels_helper_matches_corpus(spark):
+    """page_image_pixels is the SAME field generate_pages encodes — the
+    screenshot fidelity gate compares against the true origin."""
+    pages = syn.generate_pages(spark, 8, N_HOSTS).collect()
+    from literature_crawler_spark.operators.images import decode_image
+
+    for p in pages:
+        i = int(p.image_id.split("-")[1])
+        px, w, h, _ = decode_image(bytes(p.bytes))
+        want = syn.page_image_pixels(i)
+        assert (w, h) == (want.shape[1], want.shape[0])
+        if p.fmt != "jpeg":  # lossless formats round-trip exactly
+            assert np.array_equal(px, want)
