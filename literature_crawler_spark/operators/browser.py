@@ -192,6 +192,24 @@ def make_selenium_renderer(*args, **kwargs) -> Renderer:
     )
 
 
+def as_fetcher(renderer: Renderer):
+    """Adapt a renderer to the fetch-stage contract (``operators/fetch.
+    Fetcher``) so ``CrawlEngine`` runs browser-rendered waves unchanged:
+    ``rendered`` maps to the engine's success status ``fetched``; the
+    rendered-only keys (content, figures) pass through harmlessly —
+    ``fetch_extract`` reads only its own result fields. ``None`` (DOM not
+    settled) stays ``None``, so the engine's retry ladder doubles as the
+    readiness wait."""
+
+    def fetch(url: str) -> dict | None:
+        out = renderer(url)
+        if out is not None and out.get("status") == "rendered":
+            out = dict(out, status="fetched")
+        return out
+
+    return fetch
+
+
 # ------------------------------------------------------ Spark operators ----
 
 

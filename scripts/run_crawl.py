@@ -31,8 +31,9 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=50)
     ap.add_argument("--budget", type=int, default=10)
     ap.add_argument("--fresh", action="store_true", help="wipe state first")
-    ap.add_argument("--fetch", choices=["join", "udf"], default="join",
-                    help="fetch stage: pages-table hash-join or Arrow-UDF fetcher")
+    ap.add_argument("--fetch", choices=["join", "udf", "rendered"], default="join",
+                    help="fetch stage: pages-table hash-join, Arrow-UDF fetcher, "
+                         "or the browser-rendered fetcher (S6)")
     args = ap.parse_args()
 
     # spark-submit owns master/executor config; only app-level knobs here
@@ -55,6 +56,12 @@ def main() -> None:
         from literature_crawler_spark.operators import fetch as fetch_mod
 
         fetcher = fetch_mod.make_synthetic_fetcher(args.pages, args.hosts)
+    elif args.fetch == "rendered":
+        from literature_crawler_spark.operators import browser as browser_mod
+
+        fetcher = browser_mod.as_fetcher(
+            browser_mod.make_synthetic_renderer(args.pages, args.hosts)
+        )
     engine = CrawlEngine(
         spark,
         store,

@@ -141,6 +141,41 @@ def test_new_figures_dedup_by_original_name(spark):
     assert br.new_figures(figs, all_named).count() == 0
 
 
+def test_engine_rendered_fetch_equals_join_fetch(spark, tmp_path):
+    """The wave loop run on the browser-rendered fetcher reproduces the
+    join-path crawl exactly (same seen set, same crawl order) — S6 is a
+    drop-in fetch stage, not a fork of the engine."""
+    from literature_crawler_spark.plans.crawl import CrawlEngine
+    from literature_crawler_spark.plans.state import SnapshotStore
+
+    corpus = {
+        "pages": syn.generate_pages(spark, 200, 6, with_images=False),
+        "seeds": syn.generate_seeds(spark, 20, 200, 6),
+        "robots": syn.generate_robots(spark),
+        "politeness": syn.generate_politeness(spark, 6),
+    }
+
+    def run(path, fetcher):
+        eng = CrawlEngine(
+            spark, SnapshotStore(path), corpus["pages"], corpus["robots"],
+            corpus["politeness"], fetcher=fetcher,
+        )
+        eng.run(corpus["seeds"], max_waves=2)
+        seen = {r.canon_url for r in eng.seen().collect()}
+        order = [
+            (r.wave, r.seq, r.canon_url)
+            for r in eng.crawl_order().orderBy("wave", "seq").collect()
+        ]
+        return seen, order
+
+    join_state = run(str(tmp_path / "join"), None)
+    rendered_state = run(
+        str(tmp_path / "rendered"),
+        br.as_fetcher(br.make_synthetic_renderer(200, 6, settle_every=5)),
+    )
+    assert join_state == rendered_state
+
+
 def test_selenium_swap_point_gated():
     with pytest.raises(NotImplementedError):
         br.make_selenium_renderer()
