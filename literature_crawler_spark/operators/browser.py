@@ -363,6 +363,62 @@ def screenshot_figures(
     return figures.select(url_col).mapInPandas(run, SCREENSHOT_SCHEMA)
 
 
+def harvest_figures(
+    rendered: DataFrame,
+    resources: DataFrame | None = None,
+    recycle_every: int = 8,
+) -> DataFrame:
+    """Rendered wave rows -> NEW screenshot resource rows.
+
+    The reference's per-article figure loop
+    (``current_protocol_crawl_util.py:64-120``): for each rendered page's
+    figure URLs, skip names already stored (the dedup happens BEFORE any
+    browser navigation), rasterize + crop the rest, and emit rows shaped
+    like ``CurrentProtocolResources`` (original_name, uri, source page,
+    type) ready to append to the resources state table. ``resource_id``
+    is a content-stable hash of the name, not the reference's racy
+    ``MAX(id)+1`` (same policy as ``upsert_dimension``, A5).
+
+    Scale shape: explode + one shuffle on ``figure_url`` (dedup across
+    pages), broadcast-or-shuffle anti-join vs the resources dimension,
+    then the screenshot mapInPandas over only the NEW figures.
+    """
+    figs = (
+        rendered.filter(F.col("fetch_status").isin("fetched", "rendered"))
+        .filter(F.col("figures").isNotNull())
+        .select(
+            F.col("canon_url").alias("page_url"),
+            F.explode("figures").alias("figure_url"),
+        )
+        # many pages may cite one figure; screenshot each name once,
+        # attributed to a deterministic representative page
+        .groupBy("figure_url")
+        .agg(F.min("page_url").alias("page_url"))
+    )
+    if resources is not None:
+        fresh = new_figures(figs, resources)
+    else:
+        fresh = figs.withColumn(
+            "original_name", F.element_at(F.split(F.col("figure_url"), "/"), -1)
+        )
+    shots = screenshot_figures(fresh, recycle_every=recycle_every)
+    # shots re-derives original_name from the URL; keep the anti-joined
+    # side's copy to avoid the ambiguous column
+    return shots.drop("original_name").join(
+        fresh.select("figure_url", "original_name", "page_url"), "figure_url"
+    ).select(
+        F.xxhash64("original_name").alias("resource_id"),
+        "original_name",
+        F.col("figure_url").alias("uri"),
+        "page_url",
+        "bytes",
+        "w",
+        "h",
+        F.col("fmt").alias("type"),
+        "browser_session",
+    )
+
+
 def screenshot_fidelity(shots: DataFrame) -> DataFrame:
     """Per-row PSNR of each screenshot against its origin pixel field —
     the input_hint's decoded-pixel invariant as a queryable column."""

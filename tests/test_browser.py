@@ -176,6 +176,33 @@ def test_engine_rendered_fetch_equals_join_fetch(spark, tmp_path):
     assert join_state == rendered_state
 
 
+def test_harvest_figures_resource_rows(spark):
+    """Full figure tail: rendered rows -> name-dedup -> screenshot ->
+    resource rows; a second harvest against the grown resources table
+    re-navigates nothing (the reference's original_name skip)."""
+    rendered = br.rendered_fetch_extract(
+        _scheduled(spark, 12), br.make_synthetic_renderer(N_PAGES, N_HOSTS)
+    )
+    pre = spark.createDataFrame(
+        [("fig00000000.jpg",), ("fig00000003.jpg",)], "original_name string"
+    )
+    rows = br.harvest_figures(rendered, pre).collect()
+    # pages 0..11 minus no-figure pages (i%3==2) minus the 2 pre-stored
+    want = sorted(
+        f"fig{i:08d}.jpg" for i in range(12) if i % 3 != 2 and i not in (0, 3)
+    )
+    assert sorted(r.original_name for r in rows) == want
+    for r in rows:
+        assert r.type == "jpeg" and r.bytes is not None and r.w > 0
+        assert r.uri.endswith(r.original_name)
+        assert r.page_url and "/page/" in r.page_url
+    # append-everything then harvest again: zero new rows
+    grown = pre.unionByName(
+        spark.createDataFrame([(n,) for n in want], "original_name string")
+    )
+    assert br.harvest_figures(rendered, grown).count() == 0
+
+
 def test_selenium_swap_point_gated():
     with pytest.raises(NotImplementedError):
         br.make_selenium_renderer()
