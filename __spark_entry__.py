@@ -1304,6 +1304,10 @@ def _browser_rendered_stats(spark, sf_dir):
         F.col("content").contains("pane-pcw-relatedcon").cast("int").alias(
             "dom_settled"
         ),
+        # incremental-scroll annotation loader (current_local_deal.py:337):
+        # totals follow i%5, rounds = max(1, ceil(total/2)) at 2/round
+        "n_annotations",
+        "annotation_rounds",
     )
 
 
@@ -2173,7 +2177,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 2 THEN 0 ELSE 1 END AS INTEGER) AS n_figures,
                    CASE WHEN i % 3 = 2 THEN NULL
                         ELSE printf('fig%08d.jpg', i) END AS figure_name,
-                   CAST(1 AS INTEGER) AS dom_settled
+                   CAST(1 AS INTEGER) AS dom_settled,
+                   CAST(i % 5 AS INTEGER) AS n_annotations,
+                   CAST(greatest(1, CAST(ceil((i % 5) / 2.0) AS INTEGER))
+                        AS INTEGER) AS annotation_rounds
             FROM t
         """,
     }

@@ -62,6 +62,8 @@ Renderer = Callable[[str], dict | None]
 RENDER_RESULT_FIELDS = FETCH_RESULT_FIELDS + [
     T.StructField("content", T.StringType()),
     T.StructField("figures", T.ArrayType(T.StringType())),
+    T.StructField("n_annotations", T.IntegerType()),
+    T.StructField("annotation_rounds", T.IntegerType()),
 ]
 
 SCREENSHOT_SCHEMA = T.StructType(
@@ -137,6 +139,37 @@ def rendered_html_of_index(i: int, n_hosts: int) -> str:
     )
 
 
+def _annotation_total_of_index(i: int) -> int:
+    """Expected <annotation> count of page i (0-4)."""
+    return i % 5
+
+
+def load_annotations(total: int, per_round: int = 2, max_rounds: int = 8) -> tuple[int, int]:
+    """Deterministic twin of the reference's incremental-scroll annotation
+    loader (``app/routes/current_local_deal.py:337-361``
+    ``load_annotations`` + ``scroll_and_load_more``): each scroll round
+    materializes up to ``per_round`` more ``<annotation>`` nodes; the loop
+    stops when the count reaches the expected total, after 3 rounds of
+    zero progress, or at the absolute round cap. Returns
+    ``(n_loaded, rounds_used)``.
+
+    This loop belongs INSIDE the renderer (it is browser interaction, not
+    dataflow), so the Spark plumbing stays one settle ladder regardless of
+    how many scroll rounds a page needs.
+    """
+    loaded, index = 0, 0
+    while True:
+        index += 1
+        loaded = min(total, loaded + per_round)
+        if loaded == total:
+            break
+        if index > 3 and loaded == 0:
+            break
+        if index > max_rounds:
+            break
+    return loaded, index
+
+
 def make_synthetic_renderer(
     n_pages: int, n_hosts: int, settle_every: int | None = None
 ) -> Renderer:
@@ -161,6 +194,7 @@ def make_synthetic_renderer(
         html = rendered_html_of_index(m, n_hosts)
         host = url.split("/page/")[0]
         figures = [host + p for p in _DATA_LG_SRC_RE.findall(html)]
+        n_ann, rounds = load_annotations(_annotation_total_of_index(m))
         return {
             "status": "rendered",
             "image_id": f"img-{m:010d}",
@@ -168,6 +202,8 @@ def make_synthetic_renderer(
             "links": syn._links_of_index(m, n_pages, n_hosts),
             "content": html,
             "figures": figures,
+            "n_annotations": n_ann,
+            "annotation_rounds": rounds,
         }
 
     return render
@@ -257,9 +293,16 @@ def rendered_fetch_extract(
                         "attempts": attempts,
                         "content": out.get("content"),
                         "figures": out.get("figures"),
+                        "n_annotations": out.get("n_annotations"),
+                        "annotation_rounds": out.get("annotation_rounds"),
                     }
                 )
             res = pd.DataFrame(results)
+            # timeout/missing rows carry None in the int columns; pandas
+            # would widen them to float64, which Arrow refuses to cast
+            # back to int32 (NaN) — use the nullable Int32 dtype instead
+            for c in ("n_annotations", "annotation_rounds"):
+                res[c] = res[c].astype("Int32")
             pdf = pdf.reset_index(drop=True)
             for f in RENDER_RESULT_FIELDS:
                 pdf[f.name] = res[f.name]
@@ -298,9 +341,9 @@ def screenshot_figures(
     """Navigate + rasterize each full-size figure URL (S6 stage 3).
 
     The deterministic screenshot stand-in letterboxes the figure's true
-    pixel field (``sources/synthetic.page_image_pixels``) inside a black
-    canvas — what a browser screenshot of an ``<img>``-only page looks
-    like — then crops the border with the SAME kernel the reference's
+    pixel field (``sources/synthetic.page_image_pixels``) inside a
+    border-color canvas — what a browser screenshot of an ``<img>``-only
+    page looks like — then crops the border with the SAME kernel the reference's
     ``remove_black_border`` maps to (``operators/images.crop_border_
     pixels``) and re-encodes as jpeg (the reference stores ``type=
     'jpg'`` screenshots). Fidelity of the crop is the input_hint's

@@ -203,6 +203,32 @@ def test_harvest_figures_resource_rows(spark):
     assert br.harvest_figures(rendered, grown).count() == 0
 
 
+def test_annotation_loader_loop_semantics():
+    """The incremental-scroll loader's exact loop behavior
+    (current_local_deal.py:337-361): reach the total, bail after 3 empty
+    rounds, respect the absolute cap."""
+    assert br.load_annotations(0) == (0, 1)
+    assert br.load_annotations(1) == (1, 1)
+    assert br.load_annotations(4) == (4, 2)
+    assert br.load_annotations(5, per_round=1) == (5, 5)
+    # a page that never produces annotations: 3 zero-progress rounds, bail
+    assert br.load_annotations(3, per_round=0) == (0, 4)
+    # absolute round cap wins over slow progress
+    loaded, rounds = br.load_annotations(100, per_round=1, max_rounds=8)
+    assert rounds == 9 and loaded == 9
+
+
+def test_rendered_annotation_columns(spark):
+    rendered = br.rendered_fetch_extract(
+        _scheduled(spark, 15), br.make_synthetic_renderer(N_PAGES, N_HOSTS)
+    ).collect()
+    for r in rendered:
+        i = syn.page_index_of_url(r.canon_url, N_HOSTS)
+        total = i % 5
+        assert r.n_annotations == total
+        assert r.annotation_rounds == max(1, -(-total // 2))
+
+
 def test_selenium_swap_point_gated():
     with pytest.raises(NotImplementedError):
         br.make_selenium_renderer()
