@@ -309,6 +309,57 @@ def bench_frontier_large_seen(spark, n_urls: int, cpus: int, n_hosts: int = 1000
     }
 
 
+def bench_rendered_fetch(spark, n_pages: int, cpus: int, n_hosts: int = 1000) -> dict:
+    """S6 rendered-fetch plumbing throughput: pages rendered+extracted per
+    second through ``rendered_fetch_extract`` (salt repartition ->
+    mapInPandas settle ladder -> Arrow column append) with the
+    deterministic synthetic renderer.
+
+    What this measures — and what it does not: a REAL headless Chrome
+    renders ~0.5-2 pages/s per worker, so in production the browser, not
+    Spark, is the bottleneck by 4-5 orders of magnitude. This leg instead
+    bounds the ENGINE's share of the cost (Arrow batch transfer, the
+    per-URL Python loop, schema append, the salt shuffle) so the claim
+    "the plumbing never caps a browser fleet" is measured, not asserted:
+    any pages/s number here >> any realistic fleet's aggregate render
+    rate means S6 scales with renderer count, exactly like the S4 fetch
+    stage it reuses the contract of.
+
+    Page synthesis is pure Catalyst (the host formula mirrored as
+    expressions over spark.range), so the timed region is dominated by
+    the operator itself.
+    """
+    from literature_crawler_spark.operators import browser as br
+
+    renderer = br.make_synthetic_renderer(n_pages, n_hosts)
+    # Catalyst twin of sources/synthetic._host_of_index: u = (i*K) mod
+    # 2^32; host 0 when u%3==0 (the supernode), else 1 + u%(n_hosts-1).
+    u = (F.col("id") * F.lit(2654435761)) % F.lit(2**32)
+    host = F.when(u % 3 == 0, F.lit(0)).otherwise((u % (n_hosts - 1)) + 1)
+    sched = spark.range(n_pages).select(
+        F.concat(
+            F.lit("https://h"), host.cast("string"),
+            F.lit(".example.org/page/"), F.col("id").cast("string"),
+        ).alias("canon_url"),
+        (F.col("id") % (4 * cpus)).cast("int").alias("salt"),
+    )
+
+    def rep():
+        t0 = time.time()
+        _materialize(br.rendered_fetch_extract(sched, renderer))
+        return time.time() - t0
+
+    rep()  # warm: Python worker fork + Arrow serializer + codegen
+    best, frac, clean, _ = steal_gated_best(rep, cpus)
+    return {
+        "n_pages": n_pages,
+        "sec": round(best, 3),
+        "pages_per_sec": round(n_pages / best),
+        "steal_frac": round(frac, 3),
+        "clean_reps": clean,
+    }
+
+
 def _calibrate_cpu() -> int:
     """Single-core integer-loop rate (iters/sec) — a host-speed anchor so
     rounds measured on different VMs/hosts can be normalized. The round-2
@@ -357,6 +408,11 @@ def main() -> None:
     # >5M-seen regime: candidates sized so seen ~ 2x n_urls crosses the
     # broadcast ceiling at the driver's sf0.1/32-cpu config
     frontier_large = bench_frontier_large_seen(spark, n_urls, cpus)
+    # S6 plumbing leg: sized so one rep is ~1-2 s at the 32-cpu config
+    # (~57k pages/s/core through the synthetic renderer)
+    n_pages = int(float(os.environ.get(
+        "SPARK_GRAFT_RENDER_PAGES", 1_000_000 * cpus / 32)))
+    rendered = bench_rendered_fetch(spark, n_pages, cpus)
     total = round(sum(timings.values()) + frontier["sec"], 3)
     spark.stop()  # one Spark JVM at a time: the executor legs spawn their own
 
@@ -454,6 +510,7 @@ def main() -> None:
         "cpus": cpus,
         "frontier": frontier,
         "frontier_large_seen": frontier_large,
+        "rendered_fetch": rendered,
         "scaling_n_to_4n": scaling,
         "host_calibration": {
             "single_core_loop_per_sec": calib,

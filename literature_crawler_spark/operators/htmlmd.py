@@ -123,7 +123,11 @@ def protect(html: str, shield: _Shield) -> str:
     )
 
     # MathJax TeX annotations become the TeX source; a container without
-    # one is dropped (:285-315 — replace_with on the equation node)
+    # one is dropped (:285-315 — replace_with on the equation node).
+    # Deliberate deviation: the reference decodes the TeX entities
+    # REVERSED (`.replace('&gt;', '<').replace('&lt;', '>')`, :299,314 —
+    # every > in a formula comes out <), an evident defect rather than a
+    # semantic choice; we decode correctly via html.unescape.
     def mjx(m: re.Match) -> str:
         ann = re.search(
             r'(?is)<annotation[^>]*encoding="application/x-tex"[^>]*>(.*?)</annotation>',
