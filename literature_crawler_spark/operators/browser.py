@@ -40,7 +40,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -444,6 +444,16 @@ def harvest_figures(
         fresh = figs.withColumn(
             "original_name", F.element_at(F.split(F.col("figure_url"), "/"), -1)
         )
+    # The reference also dedups by name WITHIN the run: each screenshotted
+    # name is appended to resource_original_name_list as the loop goes
+    # (current_protocol_crawl_util.py:64-70), so a name reached from two
+    # hosts is navigated once. First-seen pick is deterministic by URL.
+    w = Window.partitionBy("original_name").orderBy("figure_url")
+    fresh = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     shots = screenshot_figures(fresh, recycle_every=recycle_every)
     # shots re-derives original_name from the URL; keep the anti-joined
     # side's copy to avoid the ambiguous column

@@ -203,6 +203,28 @@ def test_harvest_figures_resource_rows(spark):
     assert br.harvest_figures(rendered, grown).count() == 0
 
 
+def test_harvest_dedups_shared_names_within_run(spark):
+    """A name reachable from two hosts is navigated ONCE per run — the
+    reference appends each screenshotted name to
+    resource_original_name_list as its loop goes
+    (current_protocol_crawl_util.py:64-70), so within-run repeats of a
+    name are skipped, not just names already in the resources table."""
+    rendered = spark.createDataFrame(
+        [
+            ("https://h1.example.org/page/a", "fetched",
+             ["https://h1.example.org/figures/fig00000001.jpg"]),
+            ("https://h2.example.org/page/b", "fetched",
+             ["https://h2.example.org/figures/fig00000001.jpg"]),
+        ],
+        "canon_url string, fetch_status string, figures array<string>",
+    )
+    rows = br.harvest_figures(rendered).collect()
+    assert len(rows) == 1
+    # deterministic first-seen pick: lexicographically smallest figure URL
+    assert rows[0].uri == "https://h1.example.org/figures/fig00000001.jpg"
+    assert rows[0].original_name == "fig00000001.jpg"
+
+
 def test_annotation_loader_loop_semantics():
     """The incremental-scroll loader's exact loop behavior
     (current_local_deal.py:337-361): reach the total, bail after 3 empty
