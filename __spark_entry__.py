@@ -1824,9 +1824,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
               nullif(trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')), '') AS title,
+              -- paired-quote grammar, same 4-pattern order + whitespace-only
+              -- fall-through as functions/html.py extract_meta (a ["'] class
+              -- on both sides would truncate content="O'Brien" at the quote)
               coalesce(
-                nullif(regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"'']*)["'']', 1), ''),
-                nullif(regexp_extract(html, '(?is)<meta[^>]*content=["'']([^"'']*)["''][^>]*name=["'']description["'']', 1), '')
+                CASE WHEN nullif(trim(regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content="([^"]*)"', 1)), '') IS NOT NULL
+                     THEN regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content="([^"]*)"', 1) END,
+                CASE WHEN nullif(trim(regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content=''([^'']*)''', 1)), '') IS NOT NULL
+                     THEN regexp_extract(html, '(?is)<meta[^>]*name=["'']description["''][^>]*content=''([^'']*)''', 1) END,
+                CASE WHEN nullif(trim(regexp_extract(html, '(?is)<meta[^>]*content="([^"]*)"[^>]*name=["'']description["'']', 1)), '') IS NOT NULL
+                     THEN regexp_extract(html, '(?is)<meta[^>]*content="([^"]*)"[^>]*name=["'']description["'']', 1) END,
+                CASE WHEN nullif(trim(regexp_extract(html, '(?is)<meta[^>]*content=''([^'']*)''[^>]*name=["'']description["'']', 1)), '') IS NOT NULL
+                     THEN regexp_extract(html, '(?is)<meta[^>]*content=''([^'']*)''[^>]*name=["'']description["'']', 1) END
               ) AS descr,
               CAST(len(regexp_extract_all(html, '(?i)href=["'']([^"''#][^"'']*)["'']', 1)) AS INT) AS n_links,
               list_extract(regexp_extract_all(html, '(?i)href=["'']([^"''#][^"'']*)["'']', 1), 1) AS first_link,

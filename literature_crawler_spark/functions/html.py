@@ -44,8 +44,15 @@ def extract_meta(html: Column, name: str) -> Column:
         pats.append(
             rf'(?is)<meta[^>]*content={q}([^{q}]*){q}[^>]*name=["\']{name}["\']'
         )
+    # Per-alternative fall-through: a whitespace-only match must not win
+    # the coalesce and mask a real value a later pattern would find, but
+    # the winning value is returned VERBATIM (callers decide trimming).
+    vals = [F.regexp_extract(html, p, 1) for p in pats]
     return F.coalesce(
-        *[F.nullif(F.regexp_extract(html, p, 1), F.lit("")) for p in pats]
+        *[
+            F.when(F.nullif(F.trim(v), F.lit("")).isNotNull(), v)
+            for v in vals
+        ]
     )
 
 

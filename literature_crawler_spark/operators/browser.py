@@ -66,17 +66,13 @@ RENDER_RESULT_FIELDS = FETCH_RESULT_FIELDS + [
     T.StructField("annotation_rounds", T.IntegerType()),
 ]
 
-SCREENSHOT_SCHEMA = T.StructType(
-    [
-        T.StructField("figure_url", T.StringType()),
-        T.StructField("original_name", T.StringType()),
-        T.StructField("bytes", T.BinaryType()),
-        T.StructField("w", T.IntegerType()),
-        T.StructField("h", T.IntegerType()),
-        T.StructField("fmt", T.StringType()),
-        T.StructField("browser_session", T.IntegerType()),
-    ]
-)
+SCREENSHOT_FIELDS = [
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("browser_session", T.IntegerType()),
+]
 
 _FIGURE_URL_RE = re.compile(r"https://h(\d+)\.example\.org/figures/fig(\d+)\.jpg$")
 _DATA_LG_SRC_RE = re.compile(r'data-lg-src="([^"]+)"')
@@ -354,23 +350,38 @@ def screenshot_figures(
     partition (floor(nav_index / recycle_every)) — the observable twin
     of the reference's recycle-every-8 ``driver.quit(); uc.Chrome()``
     loop; a real renderer swaps in at the same seam.
+
+    Every input column passes through to the output (a figure row's
+    ``page_url``/``original_name`` attribution survives without a
+    re-join against the pre-screenshot plan); ``original_name`` is
+    derived from the URL's last path segment when the input lacks it.
     """
+    derive_name = "original_name" not in figures.columns
+    added = (
+        [T.StructField("original_name", T.StringType())] if derive_name else []
+    ) + SCREENSHOT_FIELDS
+    schema = T.StructType(list(figures.schema.fields) + added)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from literature_crawler_spark.sources import synthetic as syn
+
         navs = 0  # per-partition navigation counter drives recycling
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = []
+            names, blobs, ws, hs, fmts, sessions = [], [], [], [], [], []
             for url in pdf[url_col]:
                 m = _FIGURE_URL_RE.match(url or "")
+                navs += 1
+                sessions.append((navs - 1) // recycle_every)
                 if not m:
-                    navs += 1
-                    rows.append((url, None, None, 0, 0, None, (navs - 1) // recycle_every))
+                    names.append(None)
+                    blobs.append(None)
+                    ws.append(0)
+                    hs.append(0)
+                    fmts.append(None)
                     continue
                 i = int(m.group(2))
-                from literature_crawler_spark.sources import synthetic as syn
-
                 px = syn.page_image_pixels(i)
                 # letterbox in the reference's exact border color
                 # (pic_back_deal.py scans for RGB 14,14,14, not pure black)
@@ -381,29 +392,22 @@ def screenshot_figures(
                 )
                 canvas[border:-border, border:-border] = px
                 cropped = crop_border_pixels(canvas)
-                blob = encode_image(cropped, "jpeg")
-                name = url.rsplit("/", 1)[-1]  # reference: last path segment
-                navs += 1
-                rows.append(
-                    (
-                        url,
-                        name,
-                        blob,
-                        cropped.shape[1],
-                        cropped.shape[0],
-                        "jpeg",
-                        (navs - 1) // recycle_every,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "figure_url", "original_name", "bytes", "w", "h", "fmt",
-                    "browser_session",
-                ],
-            )
+                names.append(url.rsplit("/", 1)[-1])  # last path segment
+                blobs.append(encode_image(cropped, "jpeg"))
+                ws.append(cropped.shape[1])
+                hs.append(cropped.shape[0])
+                fmts.append("jpeg")
+            pdf = pdf.reset_index(drop=True)
+            if derive_name:
+                pdf["original_name"] = names
+            pdf["bytes"] = blobs
+            pdf["w"] = ws
+            pdf["h"] = hs
+            pdf["fmt"] = fmts
+            pdf["browser_session"] = sessions
+            yield pdf
 
-    return figures.select(url_col).mapInPandas(run, SCREENSHOT_SCHEMA)
+    return figures.mapInPandas(run, schema)
 
 
 def harvest_figures(
@@ -454,12 +458,11 @@ def harvest_figures(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # screenshot_figures passes fresh's columns through, so the figure's
+    # name/page attribution survives without re-running the dedup plan on
+    # a join-back side (one computation of the explode/anti-join/window)
     shots = screenshot_figures(fresh, recycle_every=recycle_every)
-    # shots re-derives original_name from the URL; keep the anti-joined
-    # side's copy to avoid the ambiguous column
-    return shots.drop("original_name").join(
-        fresh.select("figure_url", "original_name", "page_url"), "figure_url"
-    ).select(
+    return shots.select(
         F.xxhash64("original_name").alias("resource_id"),
         "original_name",
         F.col("figure_url").alias("uri"),

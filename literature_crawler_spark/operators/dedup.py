@@ -188,11 +188,14 @@ def simhash_near_dups(
     off = 0
     for blk in range(n_blocks):
         width = base + (1 if blk < rem else 0)
+        # width == 64 (max_hamming=0, one block = the whole hash): the
+        # all-ones mask overflows LongType as (1<<64)-1; it is -1 signed
+        mask = -1 if width == 64 else (1 << width) - 1
         blocks.append(
             sims.select(
                 "_id", "simhash", F.lit(blk).alias("block"),
                 F.shiftrightunsigned(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
         )

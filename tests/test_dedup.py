@@ -116,6 +116,38 @@ def test_simhash_blocks_scale_with_max_hamming(spark):
         assert got == want, f"max_hamming={d}: {got ^ want}"
 
 
+def test_simhash_max_hamming_zero_is_exact(docs):
+    """max_hamming=0 (one block = the whole 64-bit hash) is admitted by
+    the guard, so the band mask must not overflow LongType at width 64;
+    the result is exact-simhash equality pairs only."""
+    import itertools
+
+    from literature_crawler_spark.functions import hashing as hsh, text as tx
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_dups(
+            docs, "text", "doc_id", max_hamming=0
+        ).collect()
+    }
+    assert all(h == 0 for _, _, h in got)
+    sims = {
+        r._id: r.sh
+        for r in docs.select(
+            F.col("doc_id").alias("_id"),
+            hsh.simhash64(
+                F.transform(tx.word_tokens(F.col("text")), lambda t: F.xxhash64(t))
+            ).alias("sh"),
+        ).collect()
+    }
+    want = {
+        (a, b, 0)
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if sims[a] == sims[b]
+    }
+    assert got == want
+
+
 def test_minhash_rejects_non_divisible_bands(docs):
     import pytest as _pytest
 

@@ -54,6 +54,29 @@ def test_extract_meta_quote_pairing(spark):
     assert rows[2].d == "O'Hara first"
 
 
+def test_extract_meta_whitespace_only_falls_through(spark):
+    """A whitespace-only content match from an earlier pattern must not
+    win the coalesce and mask a real value a later alternative finds
+    (the old per-alternative trim+nullif fall-through semantics); the
+    winning value itself is returned verbatim, untrimmed."""
+    rows = (
+        spark.createDataFrame(
+            [
+                (
+                    '<meta name="description" content="  ">'
+                    '<meta content="real value" name="description">',
+                ),
+                ('<meta name="description" content=" padded ">',),
+            ],
+            ["html"],
+        )
+        .select(H.extract_meta(F.col("html"), "description").alias("d"))
+        .collect()
+    )
+    assert rows[0].d == "real value"
+    assert rows[1].d == " padded "
+
+
 def test_crawl_delay_garbage_and_comment_interleave(spark):
     """A non-numeric Crawl-delay reads as absent (not an ANSI cast abort),
     and a comment/blank line between consecutive User-agent lines must not
