@@ -313,15 +313,23 @@ def _doc_token_stats(spark, sf_dir):
 
 
 def _doc_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard oracle with INJECTED near-duplicates (doc_id +
+    """Exact n-gram Jaccard with INJECTED near-duplicates (doc_id +
     100000 = same text truncated by 12 chars) so the result is non-empty —
-    the round-1 fixture had no pairs >= 0.5 and was trivially green."""
+    the round-1 fixture had no pairs >= 0.5 and was trivially green.
+
+    Round 4: runs the PREFIX-FILTERED join (``ngram_jaccard_prefix_pairs``
+    — rare-first global order, per-doc prefixes, length filter; the
+    All-Pairs/VernicaJoin scale path) instead of the brute-force exploded
+    self-join. Output is provably identical (tests/test_dedup.py asserts
+    equality on this exact corpus shape), so the DuckDB oracle — an
+    exhaustive exploded join — now independently cross-checks the
+    prefix filter's losslessness at the driver."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id", "text")
     near = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.substring(F.col("text"), 1, F.length("text") - 12).alias("text"),
     )
-    return dedup.ngram_jaccard_pairs(d.unionByName(near), "text", "doc_id", shingle_n=5, threshold=0.5)
+    return dedup.ngram_jaccard_prefix_pairs(d.unionByName(near), "text", "doc_id", shingle_n=5, threshold=0.5)
 
 
 def _ann_cosine_topk(spark, sf_dir):

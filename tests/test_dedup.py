@@ -153,3 +153,93 @@ def test_minhash_rejects_non_divisible_bands(docs):
 
     with _pytest.raises(ValueError, match="must divide"):
         dedup.minhash_lsh_pairs(docs, "text", "doc_id", n_perm=64, n_bands=10)
+
+
+def test_prefix_jaccard_equals_quadratic(docs):
+    """The prefix-filtered join is EXACT: identical pairs and values to
+    the brute-force exploded self-join at multiple thresholds."""
+    for t in (0.3, 0.5, 0.8):
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_prefix_pairs(
+                docs, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        assert pref == brute, f"threshold {t}: {pref} != {brute}"
+
+
+def test_prefix_jaccard_equals_quadratic_on_documents(spark):
+    """Same equality on the driver fixture corpus (real text + injected
+    truncation near-dups, the doc_ngram_jaccard entry's shape)."""
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    near = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.length("text") - 12).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", threshold=0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_prefix_pairs(corpus, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert len(brute) > 0  # non-trivial fixture
+    assert pref == brute
+
+
+def test_prefix_excludes_stop_shingles(spark):
+    """The scale mechanism itself: a shingle shared by EVERY document (a
+    boilerplate header) must stay out of every document's prefix — it
+    sorts last under rare-first ordering — so the O(n^2) group the naive
+    join would build on it never forms. Documents here are mostly unique
+    content plus the universal header."""
+    from literature_crawler_spark.functions import text as tx
+    from literature_crawler_spark.operators.dedup import _prefix_tokens
+
+    header = "common boilerplate header"
+    rows = [
+        (
+            i,
+            header
+            + f" body {i} "
+            + " ".join(f"tok{i}q{j}r{j}" for j in range(14)),
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = df.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(tx.char_ngrams(F.col("text"), 5)).alias("sh"),
+    )
+    # threshold 0.7 -> prefix ~30% of each doc's shingles; unique body
+    # shingles outnumber header shingles ~4:1, so the rare-first prefix
+    # never needs to reach the universal header shingles
+    pref = _prefix_tokens(sh, 0.7)
+    # shingles fully inside the shared header appear in all 30 docs
+    universal = {
+        r.sh
+        for r in sh.groupBy("sh").agg(F.count("*").alias("n"))
+        .filter(F.col("n") == 30)
+        .collect()
+    }
+    assert len(universal) > 20
+    in_prefix = {
+        r.sh for r in pref.select("sh").distinct().collect() if r.sh in universal
+    }
+    # rare-first ordering keeps universal shingles out of (nearly) every
+    # prefix; allow a tiny residue for short-text edge docs
+    assert len(in_prefix) == 0, f"stop-shingles leaked into prefixes: {in_prefix}"
+    # and the join input is strictly smaller than the full shingle table
+    assert pref.count() < sh.count()
