@@ -19,7 +19,10 @@ from seen.
 
 Usage: python scripts/engine_soak.py
 Knobs: SPARK_GRAFT_ENGINE_PAGES (default 4_000_000), SPARK_GRAFT_CPUS,
-SPARK_GRAFT_ENGINE_WAVES (default 4).
+SPARK_GRAFT_ENGINE_WAVES (default 4), SPARK_GRAFT_ENGINE_FETCH=join|udf
+(join = hash-join vs the pages table, the table-resident case; udf = the
+Arrow fetch_extract deploy path over salt-spread partitions, retry
+ladder per URL inside the batch).
 """
 
 from __future__ import annotations
@@ -79,6 +82,12 @@ def main() -> None:
     n_corpus = pages.count()
     corpus_sec = time.time() - t0
 
+    fetch_mode = os.environ.get("SPARK_GRAFT_ENGINE_FETCH", "join")
+    fetcher = None
+    if fetch_mode == "udf":
+        from literature_crawler_spark.operators import fetch as fetch_mod
+
+        fetcher = fetch_mod.make_synthetic_fetcher(n_pages, n_hosts)
     root = tempfile.mkdtemp(prefix="engine_soak_")
     store = SnapshotStore(root)
     eng = CrawlEngine(
@@ -87,6 +96,7 @@ def main() -> None:
         politeness=None,
         default_budget=budget,
         use_bloom="auto",
+        fetcher=fetcher,
     )
     t0 = time.time()
     n_seeded = eng.bootstrap(_seeds(spark, n_seeds, n_pages, n_hosts))
@@ -138,6 +148,7 @@ def main() -> None:
     steal_sec = (_steal_ticks() - steal0) / 100.0
     out = {
         "metric": "engine_wave_loop_soak",
+        "fetch_path": fetch_mode,
         "n_pages": n_corpus,
         "n_hosts": n_hosts,
         "n_seeds": n_seeded,
