@@ -105,6 +105,7 @@ class CrawlEngine:
         fetcher=None,
         compact_every: int | None = 8,
         two_phase: bool | str = "auto",
+        expire_on_compact: bool = True,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -113,8 +114,12 @@ class CrawlEngine:
         self.default_budget = default_budget
         self.n_buckets = n_buckets
         # fold the frontier's merge-delta chain back into a replace base
-        # every N waves (Iceberg-style table maintenance)
+        # every N waves (Iceberg-style table maintenance);
+        # expire_on_compact then reclaims the folded pre-base snapshots
+        # (expire-snapshots) so frontier storage is O(frontier), not
+        # O(frontier x compactions). Turn off to keep full time travel.
         self.compact_every = compact_every
+        self.expire_on_compact = expire_on_compact
         # use_bloom='bucketed' maintains a BucketedBloomStore next to the
         # state tables (one bitmap file per url_hash bucket, executor-built)
         # and probes it instead of building a bitmap per wave — the 10^10
@@ -615,7 +620,11 @@ class CrawlEngine:
             merge_key=["url_hash"],
         )
         if self.compact_every and wave % self.compact_every == 0:
-            self.store.compact("frontier")
+            if self.store.compact("frontier") is not None and self.expire_on_compact:
+                # reclaim the folded pre-base history (Iceberg
+                # expire-snapshots): without this, a long crawl's frontier
+                # storage grows by a full table copy per compaction
+                self.store.expire_snapshots("frontier")
         # the frontier merge commit above scanned `fetched`, so the
         # observation is already resolved — this get() does not block
         n_fetched = int(obs.get["n_fetched"])

@@ -205,6 +205,46 @@ class SnapshotStore:
             meta={"compacted_from": latest["id"], **latest.get("meta", {})},
         )
 
+    def expire_snapshots(self, table: str, keep_from: int | None = None) -> list[int]:
+        """Iceberg expire-snapshots twin: physically delete snapshot data
+        dirs + manifests strictly BEFORE the last replace base. Those
+        snapshots are unreachable from every current and future read —
+        all three read modes reconstruct from the last replace base at or
+        below the requested id — and a 10^10 crawl compacting every N
+        waves would otherwise retain its entire write history forever
+        (each compaction writes a full new base WITHOUT reclaiming the
+        folded deltas). Time travel to an expired id afterwards returns
+        None, the Iceberg contract: expired snapshots are gone.
+
+        ``keep_from``: expire strictly below this id instead — clamped to
+        the last base id, because retaining a partial pre-base tail would
+        let a time-travel read reconstruct a WRONG partial state (an
+        append-mode union missing its earlier deltas) rather than
+        None-or-correct.
+
+        Returns the expired snapshot ids. No-op on tables without a
+        replace base (pure append/merge histories are all still
+        reachable).
+        """
+        latest = self.latest(table)
+        if latest is None:
+            return []
+        manifests = [m for m in self.snapshots(table) if m["id"] <= latest["id"]]
+        base_id = max(
+            (m["id"] for m in manifests if m["mode"] == "replace"), default=None
+        )
+        if base_id is None:
+            return []
+        cut = base_id if keep_from is None else min(keep_from, base_id)
+        expired = [m["id"] for m in manifests if m["id"] < cut]
+        for sid in expired:
+            shutil.rmtree(self._sdir(table, sid), ignore_errors=True)
+            try:
+                os.remove(self._manifest_path(table, sid))
+            except OSError:
+                pass
+        return expired
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)
 

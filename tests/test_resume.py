@@ -78,9 +78,12 @@ def test_compaction_preserves_state(spark, corpus, tmp_path):
     plain.run(corpus["seeds"], max_waves=3)
 
     p = str(tmp_path / "cmp")
+    # expiry off: this test asserts the FULL snapshot history (bootstrap
+    # base + compaction base both present); the default expiry path is
+    # covered by test_engine_compaction_expires_folded_deltas
     eng = CrawlEngine(
         spark, SnapshotStore(p), corpus["pages"], corpus["robots"],
-        corpus["politeness"], compact_every=2,
+        corpus["politeness"], compact_every=2, expire_on_compact=False,
     )
     eng.run(corpus["seeds"], max_waves=2)
     modes = [m["mode"] for m in eng.store.snapshots("frontier")]
@@ -88,7 +91,7 @@ def test_compaction_preserves_state(spark, corpus, tmp_path):
     # restart on the compacted base and finish
     eng2 = CrawlEngine(
         spark, SnapshotStore(p), corpus["pages"], corpus["robots"],
-        corpus["politeness"], compact_every=2,
+        corpus["politeness"], compact_every=2, expire_on_compact=False,
     )
     eng2.run(max_waves=1)
     assert _state(plain) == _state(eng2)
@@ -295,3 +298,89 @@ def test_retract_forget_skips_pending_rows(spark, corpus, tmp_path):
         .count()
         == 0
     )
+
+
+# ----------------------------------------------------- expire snapshots ----
+
+
+def test_expire_snapshots_reclaims_pre_base_history(spark, tmp_path):
+    """After a replace base exists, expire_snapshots deletes every older
+    snapshot's data dir + manifest; the current read is unchanged and
+    time travel to expired ids returns None (the Iceberg contract)."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "exp"))
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    s0 = store.commit("t", df(0, 10), mode="append")
+    s1 = store.commit("t", df(10, 20), mode="append")
+    base = store.commit("t", store.read(spark, "t"), mode="replace")
+    s3 = store.commit("t", df(20, 25), mode="append")
+
+    before = {r.k for r in store.read(spark, "t").collect()}
+    assert before == set(range(25))
+    expired = store.expire_snapshots("t")
+    assert expired == [s0, s1]
+    # physical reclaim
+    assert not os.path.exists(store._sdir("t", s0))
+    assert not os.path.exists(store._manifest_path("t", s1))
+    # current read identical; post-base snapshots intact
+    assert {r.k for r in store.read(spark, "t").collect()} == before
+    assert {r.k for r in store.read(spark, "t", snapshot_id=base).collect()} == set(range(20))
+    # expired ids are no longer time-travelable
+    assert store.read(spark, "t", snapshot_id=s0) is None
+    # idempotent + no-op on a second call
+    assert store.expire_snapshots("t") == []
+    assert store.latest("t")["id"] == s3
+
+
+def test_expire_snapshots_noop_without_base(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "exp2"))
+    store.commit("t", spark.range(5), mode="append")
+    store.commit("t", spark.range(5, 9), mode="append")
+    assert store.expire_snapshots("t") == []
+    assert store.read(spark, "t").count() == 9
+
+
+def test_expire_keep_from_clamped_to_base(spark, tmp_path):
+    """keep_from above the base id must clamp: retaining a partial
+    pre-base tail would reconstruct WRONG partial state on time travel."""
+    store = SnapshotStore(str(tmp_path / "exp3"))
+    store.commit("t", spark.range(3), mode="append")
+    store.commit("t", spark.range(3, 6), mode="append")
+    base = store.commit("t", store.read(spark, "t"), mode="replace")
+    post = store.commit("t", spark.range(6, 8), mode="append")
+    expired = store.expire_snapshots("t", keep_from=post + 10)
+    assert max(expired) < base  # never expires the base or beyond
+    assert store.read(spark, "t").count() == 8
+
+
+def test_engine_compaction_expires_folded_deltas(spark, corpus, tmp_path):
+    """compact_every folds the frontier's merge chain into a new base;
+    expire_on_compact (default) reclaims the folded deltas, and the crawl
+    result is identical to a never-compacting run."""
+    import os
+
+    p = str(tmp_path / "cex")
+    eng = CrawlEngine(
+        spark, SnapshotStore(p), corpus["pages"], corpus["robots"],
+        corpus["politeness"], compact_every=2,
+    )
+    eng.run(corpus["seeds"], max_waves=3)
+
+    ref = CrawlEngine(
+        spark, SnapshotStore(str(tmp_path / "cex_ref")), corpus["pages"],
+        corpus["robots"], corpus["politeness"], compact_every=None,
+    )
+    ref.run(corpus["seeds"], max_waves=3)
+    assert _state(eng) == _state(ref)
+
+    # the frontier table physically holds only the last base + its tail
+    store = eng.store
+    manifests = store.snapshots("frontier")
+    base_ids = [m["id"] for m in manifests if m["mode"] == "replace"]
+    assert base_ids, "compaction ran"
+    assert min(m["id"] for m in manifests) == max(base_ids) or all(
+        m["id"] >= max(base_ids) for m in manifests
+    )
+    for m in manifests:
+        assert os.path.exists(store._sdir("frontier", m["id"]))
