@@ -106,6 +106,7 @@ class CrawlEngine:
         compact_every: int | None = 8,
         two_phase: bool | str = "auto",
         expire_on_compact: bool = True,
+        compact_seen_every: int | None = 32,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -120,6 +121,13 @@ class CrawlEngine:
         # O(frontier x compactions). Turn off to keep full time travel.
         self.compact_every = compact_every
         self.expire_on_compact = expire_on_compact
+        # seen is append-only (one snapshot dir per wave); folding it into
+        # a replace base bounds the reader's union width (file listing /
+        # planning cost at 10^4+ waves) at the price of an O(seen) rewrite
+        # — so its cadence is SLOWER than the frontier's merge-chain
+        # compaction (rewrite cost amortizes over more waves; Iceberg's
+        # analogue is data-file bin-packing on a maintenance schedule)
+        self.compact_seen_every = compact_seen_every
         # use_bloom='bucketed' maintains a BucketedBloomStore next to the
         # state tables (one bitmap file per url_hash bucket, executor-built)
         # and probes it instead of building a bitmap per wave — the 10^10
@@ -637,6 +645,18 @@ class CrawlEngine:
         )
         if self._bloom_store is not None:
             self._bloom_store.set_watermark(sid)
+        if self.compact_seen_every and wave % self.compact_seen_every == 0:
+            csid = self.store.compact("seen")
+            if csid is not None:
+                if self.expire_on_compact:
+                    self.store.expire_snapshots("seen")
+                if self._bloom_store is not None:
+                    # membership is unchanged by compaction, so the store
+                    # is still a superset — advance the watermark so the
+                    # next engine start does not see a "stale" store and
+                    # rebuild for nothing (a crash before this line only
+                    # costs that spurious rebuild, never correctness)
+                    self._bloom_store.set_watermark(csid)
         self.store.commit(
             "order",
             scheduled.select(F.lit(wave).alias("wave"), "seq", "host", "canon_url"),

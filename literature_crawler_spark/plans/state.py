@@ -190,11 +190,20 @@ class SnapshotStore:
         )
 
     def compact(self, table: str) -> int | None:
-        """Rewrite the reconciled state of a merge table as a fresh replace
-        base (Iceberg table-maintenance compaction). Returns the new
-        snapshot id, or None if the table has no merge deltas to fold."""
+        """Rewrite the reconciled state of a merge- or append-headed table
+        as a fresh replace base (Iceberg table-maintenance compaction).
+
+        Merge tables: bounds the reader's per-key reconcile window.
+        Append tables: bounds the reader's UNION width — an append-only
+        ``seen`` table otherwise accumulates one snapshot dir per wave
+        forever, and at 10^10 scale a multi-thousand-dir union is a real
+        planner/file-listing cost even though the rows are disjoint.
+        Follow with ``expire_snapshots`` to physically reclaim the folded
+        dirs. Returns the new snapshot id, or None when the head is
+        already a replace base (nothing to fold).
+        """
         latest = self.latest(table)
-        if latest is None or latest["mode"] != "merge":
+        if latest is None or latest["mode"] == "replace":
             return None
         spark = SparkSession.getActiveSession()
         reconciled = self.read(spark, table)

@@ -384,3 +384,34 @@ def test_engine_compaction_expires_folded_deltas(spark, corpus, tmp_path):
     )
     for m in manifests:
         assert os.path.exists(store._sdir("frontier", m["id"]))
+
+
+def test_seen_compaction_preserves_state_and_bounds_dirs(spark, corpus, tmp_path):
+    """compact_seen_every folds the append-only seen table into a replace
+    base on its own cadence; crawl state is identical to a plain run, the
+    folded append dirs are physically reclaimed, and resume on top of the
+    compacted seen works (watermark advanced, no spurious rebuild)."""
+    import os
+
+    plain = _mk_engine(spark, corpus, str(tmp_path / "sc_plain"))
+    plain.run(corpus["seeds"], max_waves=3)
+
+    p = str(tmp_path / "sc")
+    eng = CrawlEngine(
+        spark, SnapshotStore(p), corpus["pages"], corpus["robots"],
+        corpus["politeness"], compact_every=None, compact_seen_every=2,
+    )
+    eng.run(corpus["seeds"], max_waves=2)
+    manifests = eng.store.snapshots("seen")
+    assert manifests[0]["mode"] == "replace"  # folded base, history expired
+    for m in manifests:
+        assert os.path.exists(eng.store._sdir("seen", m["id"]))
+    # totals meta survives compaction (retract relies on it)
+    assert eng.store.latest("seen")["meta"]["total"] == eng.seen().count()
+
+    resumed = CrawlEngine(
+        spark, SnapshotStore(p), corpus["pages"], corpus["robots"],
+        corpus["politeness"], compact_every=None, compact_seen_every=2,
+    )
+    resumed.run(max_waves=1)
+    assert _state(plain) == _state(resumed)
