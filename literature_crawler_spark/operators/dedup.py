@@ -221,14 +221,30 @@ def ngram_jaccard_prefix_pairs(
     shingle sorts to the END of every document's ordering and never
     enters a prefix unless the document is nearly all stop-shingles.
     Candidate volume concentrates on rare shingles, which is also where
-    true near-duplicates are. The verify joins ship the shingle arrays
-    only onto surviving candidates (same payload discipline as
-    ``minhash_lsh_pairs``). Three shuffles total (doc-frequency,
-    prefix join, verify) — all keyed, no quadratic bucket.
+    true near-duplicates are. All keys are hashed shingles (8-byte
+    longs); the verify ships hashed arrays only onto surviving
+    candidates. Three extra keyed shuffles (doc-frequency, prefix sort,
+    verify) buy the non-quadratic candidate generation.
+
+    When it wins — MEASURED (local[32], vs ``ngram_jaccard_pairs``,
+    identical outputs asserted): a 3.3k-doc corpus sharing a ~200-char
+    boilerplate header, t=0.8 — **5.4 s vs 98.1 s (18x)**, a gap that
+    grows with k^2 while prefix stays near-linear (this is the 100 TB
+    hazard case: real corpora share license/nav/disclaimer text);
+    2k clean long docs with no hot shingles, t=0.8 — 30.1 s vs 52.3 s
+    (1.7x). When it does not: the same clean corpus at t=0.5 — 69 s vs
+    52 s (~1.3x SLOWER; prefixes are half of every doc and there is no
+    quadratic group to avoid). Rule of thumb: use the prefix join at
+    near-dup thresholds (>= ~0.7) or whenever the corpus has shared
+    boilerplate; the brute join only for low-threshold scans of small,
+    hot-shingle-free corpora — and ``minhash_lsh_pairs`` when
+    approximate recall is acceptable at all.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tx.char_ngrams(F.col(text_col), shingle_n)).alias("sh"),
+    # all keys are hashed shingles (8-byte longs): halves both the
+    # document-frequency shuffle and the prefix join exchange vs raw
+    # shingle strings, and makes the per-doc prefix sort a long sort
+    sh = _with_shingle_hashes(df, text_col, shingle_n).select(
+        F.col(id_col).alias("_id"), F.explode("_sh").alias("sh")
     )
     pref = _prefix_tokens(sh, threshold)
     a = pref.select(
@@ -247,9 +263,14 @@ def ngram_jaccard_prefix_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    arrs = df.select(
-        F.col(id_col).alias("_id"),
-        tx.char_ngrams(F.col(text_col), shingle_n).alias("_sh"),
+    # verify on HASHED shingle arrays (8 B/shingle vs ~shingle_n chars +
+    # offsets): jaccard over per-doc-distinct xxhash64 values equals
+    # jaccard over the raw shingles absent a 64-bit collision inside one
+    # compared pair's union (~|union|^2 * 2^-64 — negligible), and it
+    # roughly halves the verify exchange, the measured cost center on
+    # long documents
+    arrs = _with_shingle_hashes(df, text_col, shingle_n).select(
+        F.col(id_col).alias("_id"), F.array_distinct("_sh").alias("_sh")
     )
     verified = cand.join(
         arrs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
