@@ -187,13 +187,15 @@ def bench_frontier(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
     # inflates the other strategy's times ~3x (measured).
     spark.range(10).mapInPandas(lambda it: it, "id long").count()
 
-    def timed(strategy, bloom_store=None):
+    def timed(strategy, bloom_store=None, clean_reps=2):
         _kernel_once(  # plan-identical warmup
             spark, urls, seen, seen_n, max(n_urls // 4, 100_000), strategy, bloom_store
         )
         return steal_gated_best(
             lambda: _kernel_once(spark, urls, seen, seen_n, n_urls, strategy, bloom_store),
             cpus,
+            clean_reps=clean_reps,
+            max_attempts=10,
         )
 
     def repin():
@@ -219,7 +221,10 @@ def bench_frontier(spark, n_urls: int, cpus: int, n_hosts: int = 1000) -> dict:
         store_dir, expected_items=seen_n, n_buckets=64
     )
     bstore.merge(seen)  # untimed: incremental state maintained across waves
-    t_bucketed = timed(True, bloom_store=bstore)
+    # min-of-3 for the maintained-store probe (memory-bound random
+    # gathers degrade under sub-cap neighbor pressure — see the at-scale
+    # block's comment)
+    t_bucketed = timed(True, bloom_store=bstore, clean_reps=3)
     shutil.rmtree(store_dir, ignore_errors=True)
     seen.unpersist()
     spark.catalog.clearCache()
@@ -273,18 +278,26 @@ def bench_frontier_large_seen(spark, n_urls: int, cpus: int, n_hosts: int = 1000
         spark.catalog.clearCache()
         seen.persist().count()
 
-    def timed(strategy, bloom_store=None):
+    def timed(strategy, bloom_store=None, clean_reps=2):
         _kernel_once(
             spark, urls, seen, seen_n, max(n_urls // 4, 100_000), strategy, bloom_store
         )
         return steal_gated_best(
             lambda: _kernel_once(spark, urls, seen, seen_n, n_urls, strategy, bloom_store),
             cpus,
+            clean_reps=clean_reps,
+            max_attempts=10,
         )
 
-    t_bucketed = timed(True, bstore)
+    # the maintained-store probes are memory-bound random gathers, so reps
+    # degrade several-fold under neighbor-VM pressure the steal counter
+    # only partially sees (measured: reps at 4-14% steal — under the cap —
+    # swing 0.15-3.1M URLs/s in one process while <2%-steal reps cluster
+    # fast). min-of-3 clean reps keeps one degraded-but-"clean" window
+    # from setting the artifact for these legs.
+    t_bucketed = timed(True, bstore, clean_reps=3)
     repin()
-    t_cuckoo = timed(True, cstore)
+    t_cuckoo = timed(True, cstore, clean_reps=3)
     repin()
     t_anti = timed(False)
     seen.unpersist()
