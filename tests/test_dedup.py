@@ -243,3 +243,38 @@ def test_prefix_excludes_stop_shingles(spark):
     assert len(in_prefix) == 0, f"stop-shingles leaked into prefixes: {in_prefix}"
     # and the join input is strictly smaller than the full shingle table
     assert pref.count() < sh.count()
+
+
+def test_prefix_filter_lemma_property():
+    """The losslessness lemma behind ngram_jaccard_prefix_pairs, checked
+    directly (pure Python, no Spark): for ANY two sets with
+    Jaccard >= t and ANY global total order, the prefixes of length
+    |d| - ceil(t*|d|) + 1 (rare-first or otherwise - the lemma holds for
+    every order) share at least one common element."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    checked = 0
+    for trial in range(2000):
+        universe = list(range(rng.randint(4, 60)))
+        rng.shuffle(universe)  # the global order is the list position
+        pos = {tok: i for i, tok in enumerate(universe)}
+        a = set(rng.sample(universe, rng.randint(2, len(universe))))
+        b = set(rng.sample(universe, rng.randint(2, len(universe))))
+        inter = len(a & b)
+        union = len(a | b)
+        t = rng.choice((0.3, 0.5, 0.7, 0.8, 0.9))
+        if union == 0 or inter / union < t:
+            continue
+        checked += 1
+
+        def prefix(s):
+            p = len(s) - math.ceil(t * len(s)) + 1
+            return set(sorted(s, key=lambda x: pos[x])[:p])
+
+        assert prefix(a) & prefix(b), (
+            f"lemma violated: t={t} a={sorted(a)} b={sorted(b)} "
+            f"jaccard={inter/union:.3f}"
+        )
+    assert checked > 200  # the sampler actually produced qualifying pairs
