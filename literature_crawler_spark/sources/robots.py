@@ -172,6 +172,96 @@ def crawl_delay_of(
     )
 
 
+def refresh_robots_cache(
+    spark,
+    store,
+    hosts: DataFrame,
+    robots_fetcher,
+    now_ts: str,
+    agent: str = "*",
+    ttl_hours: int = DEFAULT_TTL_HOURS,
+    retries: int = 3,
+    table: str = "robots_cache",
+) -> tuple[DataFrame, DataFrame]:
+    """The robots-cache LIFECYCLE the north rule's "robots.txt caching"
+    names, as one idempotent pass over a SnapshotStore table:
+
+    1. work-list: ``hosts`` (e.g. this wave's pending frontier hosts,
+       deduped) minus hosts whose cached copy is younger than the TTL —
+       a fetch failure/absence is cached too (status ``missing``, empty
+       body) so an unreachable robots.txt is re-requested once per TTL,
+       never once per wave;
+    2. fetch ``/robots.txt`` for the work-list through a pluggable
+       ``robots_fetcher(host) -> body | None`` (None = transient, retried
+       — same poisoned-URL contract as every network stage) inside one
+       ``mapInPandas`` pass;
+    3. MERGE-commit the new bodies into the cache keyed by host
+       (last-writer-wins; the snapshot reader reconciles), so concurrent
+       resumes and replays stay idempotent;
+    4. return ``(rules, delays)`` parsed from the RECONCILED cache —
+       ``rules`` is the (host, pattern, allow) shape
+       ``operators.frontier.apply_robots`` broadcasts, ``delays`` feeds
+       the politeness table via ``crawl_delay_of``.
+
+    Scale shape: the work-list and fetch are per-HOST (dedup before any
+    network), the cache table carries one row per host, and parsing is
+    the existing no-Python expression pipeline — at 10^10 URLs the host
+    universe is ~10^6-10^7 rows, a dimension table.
+    """
+    import pandas as pd
+
+    cache = store.read(spark, table)
+    want = hosts.select("host").dropDuplicates(["host"])
+    if cache is not None:
+        fresh = cache.filter(
+            F.col("fetched_at")
+            >= F.to_timestamp(F.lit(now_ts)) - F.expr(f"INTERVAL {int(ttl_hours)} HOURS")
+        ).select("host")
+        work = want.join(fresh, "host", "left_anti")
+    else:
+        work = want
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bodies, statuses = [], []
+            for host in pdf["host"]:
+                out, attempts = None, 0
+                while attempts < retries:
+                    attempts += 1
+                    out = robots_fetcher(host)
+                    if out is not None:
+                        break
+                if out is None:
+                    bodies.append("")
+                    statuses.append("error")
+                elif out == "":
+                    bodies.append("")
+                    statuses.append("missing")
+                else:
+                    bodies.append(out)
+                    statuses.append("ok")
+            pdf = pdf.reset_index(drop=True)
+            pdf["body"] = bodies
+            pdf["status"] = statuses
+            yield pdf
+
+    fetched = work.mapInPandas(run, "host string, body string, status string").select(
+        "host", "body", "status", F.to_timestamp(F.lit(now_ts)).alias("fetched_at")
+    ).persist()
+    n_fetched = fetched.count()
+    if n_fetched:
+        store.commit(
+            table, fetched, mode="merge", merge_key=["host"],
+            meta={"refreshed": n_fetched},
+        )
+    fetched.unpersist()
+    cache = store.read(spark, table)
+    ok = cache.filter(F.col("status") == "ok").select("host", "body")
+    return parse_robots_txt(ok, agent=agent), crawl_delay_of(ok, agent=agent)
+
+
 def stale_robots(
     robots_cache: DataFrame,
     now_ts,

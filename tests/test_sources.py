@@ -222,3 +222,129 @@ def test_stale_robots_ttl(spark):
     ).selectExpr("host", "CAST(fetched_at AS TIMESTAMP) AS fetched_at")
     stale = {r.host for r in rb.stale_robots(cache, "2024-01-02 12:00:00", ttl_hours=24).collect()}
     assert stale == {"h2", "h3"}
+
+
+def test_refresh_robots_cache_lifecycle(spark, tmp_path):
+    """The robots-cache lifecycle: first call fetches every requested
+    host (absence cached as 'missing'), a within-TTL call fetches
+    NOTHING, a past-TTL call refreshes and picks up changed bodies; the
+    returned rules feed apply_robots and the delays feed politeness."""
+    from literature_crawler_spark.plans.state import SnapshotStore
+    from literature_crawler_spark.sources import robots as rb
+
+    bodies = {
+        "h1.org": "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n",
+        "h2.org": "",  # no robots.txt published
+    }
+    # the fetcher runs in executor python workers, so driver-side lists
+    # never see its calls — record them as files (shared FS in local mode)
+    calldir = tmp_path / "calls"
+    calldir.mkdir()
+
+    def _calls():
+        import os
+
+        return sorted(os.listdir(calldir))
+
+    def fetcher(host):
+        (calldir / host).touch()
+        return bodies.get(host, "")
+
+    store = SnapshotStore(str(tmp_path / "rc"))
+    hosts = spark.createDataFrame(
+        [("h1.org",), ("h2.org",), ("h1.org",)], "host string"
+    )
+    rules, delays = rb.refresh_robots_cache(
+        spark, store, hosts, fetcher, "2024-01-01 00:00:00"
+    )
+    assert _calls() == ["h1.org", "h2.org"]
+    assert {(r.host, r.pattern, r.allow) for r in rules.collect()} == {
+        ("h1.org", "/private/", False)
+    }
+    assert {(r.host, r.min_interval_ms) for r in delays.collect()} == {
+        ("h1.org", 2000)
+    }
+
+    # within TTL: nothing refetched, even the 'missing' host
+    import shutil
+
+    shutil.rmtree(calldir)
+    calldir.mkdir()
+    rules, _ = rb.refresh_robots_cache(
+        spark, store, hosts, fetcher, "2024-01-01 12:00:00"
+    )
+    assert _calls() == []
+    assert rules.count() == 1
+
+    # past TTL: refreshed; a changed body wins (merge last-writer-wins).
+    # bodies is captured by value in the executor closure, so build a NEW
+    # fetcher for the changed web state
+    shutil.rmtree(calldir)
+    calldir.mkdir()
+    bodies2 = dict(bodies, **{"h2.org": "User-agent: *\nDisallow: /new/\n"})
+
+    def fetcher2(host):
+        (calldir / host).touch()
+        return bodies2.get(host, "")
+
+    rules, _ = rb.refresh_robots_cache(
+        spark, store, hosts, fetcher2, "2024-01-02 06:00:00"
+    )
+    assert _calls() == ["h1.org", "h2.org"]
+    assert {(r.host, r.pattern) for r in rules.collect()} == {
+        ("h1.org", "/private/"),
+        ("h2.org", "/new/"),
+    }
+
+
+def test_refresh_robots_cache_transient_error(spark, tmp_path):
+    """A host whose fetch exhausts the retry ladder is cached as 'error'
+    (no rules emitted, no wave-by-wave refetch storm), and recovers on
+    the next past-TTL refresh."""
+    from literature_crawler_spark.plans.state import SnapshotStore
+    from literature_crawler_spark.sources import robots as rb
+
+    calldir = tmp_path / "calls2"
+    calldir.mkdir()
+
+    def _n_attempts():
+        import os
+
+        return sum(
+            int(f.split("_")[-1]) for f in os.listdir(calldir)
+        ) if list(calldir.iterdir()) else 0
+
+    def flaky(host):
+        import os
+
+        prior = [f for f in os.listdir(calldir) if f.startswith(host)]
+        for f in prior:
+            os.unlink(calldir / f)
+        n = (int(prior[0].split("_")[-1]) if prior else 0) + 1
+        (calldir / f"{host}_{n}").touch()
+        return None  # transient every time -> ladder exhausts
+
+    store = SnapshotStore(str(tmp_path / "rc2"))
+    hosts = spark.createDataFrame([("h9.org",)], "host string")
+    rules, delays = rb.refresh_robots_cache(
+        spark, store, hosts, flaky, "2024-01-01 00:00:00", retries=3
+    )
+    assert _n_attempts() == 3
+    assert rules.count() == 0 and delays.count() == 0
+
+    # within TTL: the error is cached, not retried
+    import shutil
+
+    shutil.rmtree(calldir)
+    calldir.mkdir()
+    rb.refresh_robots_cache(spark, store, hosts, flaky, "2024-01-01 01:00:00")
+    assert _n_attempts() == 0
+
+    # past TTL with a recovered server
+    def ok(host):
+        return "User-agent: *\nDisallow: /x/\n"
+
+    rules, _ = rb.refresh_robots_cache(
+        spark, store, hosts, ok, "2024-01-02 01:00:00"
+    )
+    assert {(r.host, r.pattern) for r in rules.collect()} == {("h9.org", "/x/")}
