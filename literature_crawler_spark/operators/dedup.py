@@ -189,8 +189,15 @@ def _prefix_tokens(
             F.row_number().over(w_rank).alias("_rn"),
         )
         .filter(
+            # round before ceil: a binary-float product can land an ulp
+            # ABOVE the exact rational (0.07*100 = 7.000000000000001),
+            # and ceil of that overshoots the lemma's bound, shortening
+            # the prefix and dropping pairs with J exactly == t — the
+            # same 1e-9 slack the verify step's round(jaccard, 6) allows
             F.col("_rn")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            <= F.col("n_sh")
+            - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
+            + 1
         )
         .drop("_rn")
     )
@@ -258,7 +265,7 @@ def ngram_jaccard_prefix_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.least("n_a", "n_b")
-            >= F.lit(threshold) * F.greatest("n_a", "n_b")
+            >= F.round(F.lit(threshold) * F.greatest("n_a", "n_b"), 9)
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -247,11 +247,31 @@ class SnapshotStore:
         cut = base_id if keep_from is None else min(keep_from, base_id)
         expired = [m["id"] for m in manifests if m["id"] < cut]
         for sid in expired:
-            shutil.rmtree(self._sdir(table, sid), ignore_errors=True)
+            # manifest FIRST: a crash between the two deletes must leave
+            # the id unreadable (None), never a manifest pointing at a
+            # vanished data dir (a Spark path-not-found on time travel)
             try:
                 os.remove(self._manifest_path(table, sid))
             except OSError:
                 pass
+            shutil.rmtree(self._sdir(table, sid), ignore_errors=True)
+        # sweep orphans: a prior crash inside the window above leaves a
+        # manifest-less data dir that snapshots() can no longer see —
+        # reclaim any below the cut so a re-run completes the expiry
+        try:
+            entries = os.listdir(self._tdir(table))
+        except OSError:
+            entries = []
+        live = {f"s{m['id']:06d}" for m in self.snapshots(table)}
+        for name in entries:
+            if (
+                name.startswith("s")
+                and not name.endswith(".json")
+                and name[1:].isdigit()
+                and int(name[1:]) < cut
+                and name not in live
+            ):
+                shutil.rmtree(os.path.join(self._tdir(table), name), ignore_errors=True)
         return expired
 
     def drop(self, table: str) -> None:
@@ -261,8 +281,8 @@ class SnapshotStore:
         """Roll back to ``snapshot_id`` (crash-recovery / testing aid)."""
         for m in self.snapshots(table):
             if m["id"] > snapshot_id:
-                shutil.rmtree(self._sdir(table, m["id"]), ignore_errors=True)
                 os.remove(self._manifest_path(table, m["id"]))
+                shutil.rmtree(self._sdir(table, m["id"]), ignore_errors=True)
         tmp = os.path.join(self._tdir(table), "_LATEST.tmp")
         with open(tmp, "w") as f:
             f.write(str(snapshot_id))

@@ -182,6 +182,7 @@ def refresh_robots_cache(
     ttl_hours: int = DEFAULT_TTL_HOURS,
     retries: int = 3,
     table: str = "robots_cache",
+    error_ttl_hours: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The robots-cache LIFECYCLE the north rule's "robots.txt caching"
     names, as one idempotent pass over a SnapshotStore table:
@@ -203,6 +204,15 @@ def refresh_robots_cache(
        ``operators.frontier.apply_robots`` broadcasts, ``delays`` feeds
        the politeness table via ``crawl_delay_of``.
 
+    Unreachable-vs-missing (RFC 9309 §2.3.1): a 404 (fetcher returns
+    ``""``, status ``missing``) means crawl-all and is cached for the
+    full TTL; a fetch that exhausts the retry ladder (status ``error``
+    — the server-error / unreachable case, §2.3.1.4) contributes a
+    deny-all rule ``(host, "/", allow=false)`` and is re-fetched on a
+    shorter ``error_ttl_hours`` (default ``max(1, ttl_hours // 4)``),
+    so an unreachable host is never crawled unrestricted for a full
+    TTL.
+
     Scale shape: the work-list and fetch are per-HOST (dedup before any
     network), the cache table carries one row per host, and parsing is
     the existing no-Python expression pipeline — at 10^10 URLs the host
@@ -210,13 +220,16 @@ def refresh_robots_cache(
     """
     import pandas as pd
 
+    if error_ttl_hours is None:
+        error_ttl_hours = max(1, int(ttl_hours) // 4)
     cache = store.read(spark, table)
     want = hosts.select("host").dropDuplicates(["host"])
     if cache is not None:
-        fresh = cache.filter(
-            F.col("fetched_at")
-            >= F.to_timestamp(F.lit(now_ts)) - F.expr(f"INTERVAL {int(ttl_hours)} HOURS")
-        ).select("host")
+        now_col = F.to_timestamp(F.lit(now_ts))
+        ttl_of = F.when(
+            F.col("status") == "error", F.expr(f"INTERVAL {int(error_ttl_hours)} HOURS")
+        ).otherwise(F.expr(f"INTERVAL {int(ttl_hours)} HOURS"))
+        fresh = cache.filter(F.col("fetched_at") >= now_col - ttl_of).select("host")
         work = want.join(fresh, "host", "left_anti")
     else:
         work = want
@@ -258,8 +271,19 @@ def refresh_robots_cache(
         )
     fetched.unpersist()
     cache = store.read(spark, table)
+    if cache is None:
+        # empty work-list before the table's first commit: nothing was
+        # fetched, nothing is cached — empty rules/delays, not a crash
+        ok = spark.createDataFrame([], "host string, body string")
+        return parse_robots_txt(ok, agent=agent), crawl_delay_of(ok, agent=agent)
     ok = cache.filter(F.col("status") == "ok").select("host", "body")
-    return parse_robots_txt(ok, agent=agent), crawl_delay_of(ok, agent=agent)
+    # RFC 9309 §2.3.1.4: unreachable robots.txt (retry ladder exhausted)
+    # => assume complete disallow until the (shorter) error TTL re-fetch
+    deny_all = cache.filter(F.col("status") == "error").select(
+        "host", F.lit("/").alias("pattern"), F.lit(False).alias("allow")
+    )
+    rules = parse_robots_txt(ok, agent=agent).unionByName(deny_all)
+    return rules, crawl_delay_of(ok, agent=agent)
 
 
 def stale_robots(

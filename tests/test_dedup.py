@@ -278,3 +278,25 @@ def test_prefix_filter_lemma_property():
             f"jaccard={inter/union:.3f}"
         )
     assert checked > 200  # the sampler actually produced qualifying pairs
+
+
+def test_prefix_length_exact_at_float_boundary(spark):
+    """ADVICE r5 regression: 0.07*100 is 7.000000000000001 in binary
+    floats; a raw ceil on that overshoots the lemma's exact bound
+    ``|d| - ceil(t*|d|) + 1`` and silently shortens every prefix by one
+    at exact-boundary thresholds, pruning pairs with J exactly == t.
+    The prefix length must come from the exact rational
+    (round-before-ceil, same 1e-9 slack the verify's round(.,6) allows)."""
+    from literature_crawler_spark.operators.dedup import _prefix_tokens
+
+    sh = spark.createDataFrame(
+        [(1, f"s{j:03d}") for j in range(100)], "_id int, sh string"
+    )
+    # exact bound: 100 - ceil(7) + 1 = 94; the unfixed ceil(7.0000000000001)
+    # = 8 gives 93
+    assert _prefix_tokens(sh, 0.07).count() == 94
+    sh50 = spark.createDataFrame(
+        [(1, f"s{j:03d}") for j in range(50)], "_id int, sh string"
+    )
+    # 0.14*50 is the same overshooting product: 50 - ceil(7) + 1 = 44
+    assert _prefix_tokens(sh50, 0.14).count() == 44

@@ -333,6 +333,47 @@ def test_expire_snapshots_reclaims_pre_base_history(spark, tmp_path):
     assert store.latest("t")["id"] == s3
 
 
+def test_expire_crash_window_leaves_no_orphan_manifest(spark, tmp_path, monkeypatch):
+    """ADVICE r5 regression: a crash BETWEEN an expired snapshot's two
+    deletes must leave the None-or-correct contract intact. The manifest
+    is removed first, so the worst post-crash state is data-without-
+    manifest (reads as None), never manifest-without-data (a Spark
+    path-not-found on time travel)."""
+    import shutil as _shutil
+
+    from literature_crawler_spark.plans import state as state_mod
+
+    store = SnapshotStore(str(tmp_path / "expc"))
+    df = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")  # noqa: E731
+    s0 = store.commit("t", df(0, 10), mode="append")
+    s1 = store.commit("t", df(10, 20), mode="append")
+    store.commit("t", store.read(spark, "t"), mode="replace")
+
+    real_rmtree = _shutil.rmtree
+
+    def crash_on_first(path, *a, **kw):
+        raise RuntimeError("simulated crash mid-expire")
+
+    monkeypatch.setattr(state_mod.shutil, "rmtree", crash_on_first)
+    try:
+        store.expire_snapshots("t")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(state_mod.shutil, "rmtree", real_rmtree)
+
+    # s0's manifest went first; its data dir survived the crash — that
+    # id must read as None, and no read path may raise
+    assert store.read(spark, "t", snapshot_id=s0) is None
+    assert {r.k for r in store.read(spark, "t").collect()} == set(range(20))
+    # a re-run completes the expiry (idempotent repair)
+    store.expire_snapshots("t")
+    assert store.read(spark, "t", snapshot_id=s1) is None
+    import os
+
+    assert not os.path.exists(store._sdir("t", s0))
+    assert not os.path.exists(store._sdir("t", s1))
+
+
 def test_expire_snapshots_noop_without_base(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "exp2"))
     store.commit("t", spark.range(5), mode="append")

@@ -299,8 +299,8 @@ def test_refresh_robots_cache_lifecycle(spark, tmp_path):
 
 def test_refresh_robots_cache_transient_error(spark, tmp_path):
     """A host whose fetch exhausts the retry ladder is cached as 'error'
-    (no rules emitted, no wave-by-wave refetch storm), and recovers on
-    the next past-TTL refresh."""
+    (deny-all rule per RFC 9309 §2.3.1.4, no wave-by-wave refetch storm),
+    re-fetched on the shorter error TTL, and recovers on refresh."""
     from literature_crawler_spark.plans.state import SnapshotStore
     from literature_crawler_spark.sources import robots as rb
 
@@ -330,21 +330,54 @@ def test_refresh_robots_cache_transient_error(spark, tmp_path):
         spark, store, hosts, flaky, "2024-01-01 00:00:00", retries=3
     )
     assert _n_attempts() == 3
-    assert rules.count() == 0 and delays.count() == 0
+    # RFC 9309 §2.3.1.4: unreachable robots.txt => assume complete
+    # disallow, NOT unrestricted crawl
+    assert {(r.host, r.pattern, r.allow) for r in rules.collect()} == {
+        ("h9.org", "/", False)
+    }
+    assert delays.count() == 0
 
-    # within TTL: the error is cached, not retried
+    # within the (shorter) error TTL: the error is cached, not retried
     import shutil
 
     shutil.rmtree(calldir)
     calldir.mkdir()
-    rb.refresh_robots_cache(spark, store, hosts, flaky, "2024-01-01 01:00:00")
+    rules, _ = rb.refresh_robots_cache(
+        spark, store, hosts, flaky, "2024-01-01 01:00:00"
+    )
     assert _n_attempts() == 0
+    assert {(r.host, r.pattern, r.allow) for r in rules.collect()} == {
+        ("h9.org", "/", False)
+    }
 
-    # past TTL with a recovered server
+    # past the error TTL (default ttl_hours//4 = 6h) but well inside the
+    # 24h content TTL: the error entry IS re-fetched
+    shutil.rmtree(calldir)
+    calldir.mkdir()
+
     def ok(host):
         return "User-agent: *\nDisallow: /x/\n"
 
     rules, _ = rb.refresh_robots_cache(
-        spark, store, hosts, ok, "2024-01-02 01:00:00"
+        spark, store, hosts, ok, "2024-01-01 07:00:00"
     )
     assert {(r.host, r.pattern) for r in rules.collect()} == {("h9.org", "/x/")}
+    # and the recovered 'ok' entry carries no deny-all residue
+    assert {r.allow for r in rules.collect()} == {False}  # /x/ is a Disallow
+
+
+def test_refresh_robots_cache_empty_hosts_no_table(spark, tmp_path):
+    """ADVICE r5 regression: an empty host list before the cache table's
+    first commit must return empty rules/delays, not AttributeError on a
+    None cache read."""
+    from literature_crawler_spark.plans.state import SnapshotStore
+    from literature_crawler_spark.sources import robots as rb
+
+    store = SnapshotStore(str(tmp_path / "rc3"))
+    hosts = spark.createDataFrame([], "host string")
+    rules, delays = rb.refresh_robots_cache(
+        spark, store, hosts, lambda h: "", "2024-01-01 00:00:00"
+    )
+    assert rules.count() == 0 and delays.count() == 0
+    assert rules.columns == ["host", "pattern", "allow"]
+    assert delays.columns == ["host", "min_interval_ms"]
