@@ -32,7 +32,7 @@ EXPECT_PUSHED = {
 EXPECT_BROADCAST = {
     "q3_shipping_priority",
     "q5_region_revenue",
-    "crawl_blocklist_filter",
+    "crawl_canonicalize_counts",
     "crawl_seen_antijoin",
     "dim_link_counts",
     "ann_cosine_topk",
@@ -41,6 +41,7 @@ EXPECT_BROADCAST = {
 NO_SCAN = {
     "image_decode_stats", "image_resize_stats", "video_frame_sample",
     "audio_feature_extract", "crawl_wave_e2e", "ris_seed_parse",
+    "browser_rendered_stats",
     "time_window_split",
 }
 
