@@ -342,7 +342,17 @@ def _doc_ngram_jaccard(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.substring(F.col("text"), 1, F.length("text") - 12).alias("text"),
     )
-    return dedup.ngram_jaccard_prefix_pairs(d.unionByName(near), "text", "doc_id", shingle_n=5, threshold=0.5)
+    # Round 5: routed through the measured-crossover dispatcher
+    # (choose_jaccard_path). The synthetic-word corpus has hot shingles
+    # (small shared vocabulary), so at t=0.5 dispatch picks the PREFIX
+    # join — the driver keeps independently re-proving the prefix
+    # filter's losslessness against the exhaustive SQL oracle — while a
+    # clean hot-shingle-free corpus at low t would take the brute join
+    # (its measured winner). Both paths are exact: dispatch never
+    # changes the rows.
+    return dedup.ngram_jaccard_pairs_auto(
+        d.unionByName(near), "text", "doc_id", shingle_n=5, threshold=0.5
+    )
 
 
 def _ann_cosine_topk(spark, sf_dir):

@@ -304,12 +304,19 @@ def bench_frontier_large_seen(spark, n_urls: int, cpus: int, n_hosts: int = 1000
     spark.catalog.clearCache()
     shutil.rmtree(store_dir, ignore_errors=True)
     shutil.rmtree(cuckoo_dir, ignore_errors=True)
+    rate_bucketed = round(n_urls / t_bucketed[0])
+    rate_cuckoo = round(n_urls / t_cuckoo[0])
     return {
         "n_urls": n_urls,
         "seen_size": seen_n,
-        "bucketed_bloom_urls_per_sec": round(n_urls / t_bucketed[0]),
-        "cuckoo_urls_per_sec": round(n_urls / t_cuckoo[0]),
+        "bucketed_bloom_urls_per_sec": rate_bucketed,
+        "cuckoo_urls_per_sec": rate_cuckoo,
         "shuffle_antijoin_urls_per_sec": round(n_urls / t_anti[0]),
+        # same kernel, same input, two O(1)-probe stores: a >3x gap means
+        # one leg's "clean" reps were all contamination-slow (run F's
+        # 0.89M cuckoo outlier pattern) — flag it in-artifact so a
+        # poisoned rep can't silently become a headline number
+        "store_leg_divergence": store_leg_divergence(rate_bucketed, rate_cuckoo),
         "steal_frac": {
             "bucketed": round(t_bucketed[1], 3),
             "cuckoo": round(t_cuckoo[1], 3),
@@ -320,6 +327,86 @@ def bench_frontier_large_seen(spark, n_urls: int, cpus: int, n_hosts: int = 1000
             "shuffle_antijoin": t_anti[2],
         },
     }
+
+
+def store_leg_divergence(rate_a: float, rate_b: float, cap: float = 3.0) -> dict:
+    """Sanity cross-check for the two maintained-store legs (VERDICT r4
+    item 8): they run the identical fused probe kernel over the same
+    input, so their throughput ratio should sit well under ``cap``; a
+    bigger gap is a contaminated leg, not a real store difference."""
+    ratio = max(rate_a, rate_b) / max(1.0, min(rate_a, rate_b))
+    return {"ratio": round(ratio, 2), "suspect": ratio > cap}
+
+
+def bench_jaccard_dispatch(spark, cpus: int) -> dict:
+    """Exact-Jaccard strategy dispatch (VERDICT r4 item 5): on each
+    regime's corpus, time the prefix-filtered and brute joins and record
+    which one ``choose_jaccard_path`` picked — ``picked_winner`` is the
+    in-artifact proof that dispatch selects the measured winner on both
+    sides of the documented crossover (prefix at near-dup t / hot
+    corpora; brute for low-t scans of hot-shingle-free text). Corpora
+    are shrunk versions of the round-4 measurement shapes (BENCH.md)."""
+    import hashlib
+
+    from literature_crawler_spark.operators import dedup
+
+    n_clean = int(600 * max(cpus, 8) / 32)
+    n_boiler = int(800 * max(cpus, 8) / 32)
+    clean = spark.createDataFrame(
+        [
+            (i, " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:10]
+                for j in range(60)
+            ))
+            for i in range(n_clean)
+        ],
+        ["doc_id", "text"],
+    ).persist()
+    header = "this dataset is released under the creative commons attribution license; see the repository for citation detail and terms. "
+    boiler = spark.createDataFrame(
+        [
+            (i, header + " ".join(f"u{i}t{j}z{j%7}" for j in range(40)))
+            for i in range(n_boiler)
+        ],
+        ["doc_id", "text"],
+    ).persist()
+    clean.count(), boiler.count()
+
+    def leg(corpus, t):
+        def run(fn):
+            def rep():
+                t0 = time.time()
+                _materialize(fn(corpus, "text", "doc_id", threshold=t))
+                return time.time() - t0
+
+            rep()  # warm
+            best, frac, n_ok, _ = steal_gated_best(
+                rep, cpus, clean_reps=2, max_attempts=5, sleep_s=5.0
+            )
+            return round(best, 3), round(frac, 3), n_ok
+
+        s_prefix = run(dedup.ngram_jaccard_prefix_pairs)
+        s_brute = run(dedup.ngram_jaccard_pairs)
+        picked = dedup.choose_jaccard_path(corpus, "text", "doc_id", threshold=t)
+        winner = "prefix" if s_prefix[0] <= s_brute[0] else "brute"
+        return {
+            "threshold": t,
+            "sec_prefix": s_prefix[0], "sec_brute": s_brute[0],
+            "steal_frac": {"prefix": s_prefix[1], "brute": s_brute[1]},
+            "clean_reps": {"prefix": s_prefix[2], "brute": s_brute[2]},
+            "picked": picked,
+            "measured_winner": winner,
+            "picked_winner": picked == winner,
+        }
+
+    out = {
+        "clean_t05": leg(clean, 0.5),
+        "boilerplate_t08": leg(boiler, 0.8),
+        "n_docs": {"clean": n_clean, "boilerplate": n_boiler},
+    }
+    clean.unpersist()
+    boiler.unpersist()
+    return out
 
 
 def bench_rendered_fetch(spark, n_pages: int, cpus: int, n_hosts: int = 1000) -> dict:
@@ -426,6 +513,11 @@ def main() -> None:
     n_pages = int(float(os.environ.get(
         "SPARK_GRAFT_RENDER_PAGES", 1_000_000 * cpus / 32)))
     rendered = bench_rendered_fetch(spark, n_pages, cpus)
+    jaccard = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_JACCARD")
+        else bench_jaccard_dispatch(spark, cpus)
+    )
     total = round(sum(timings.values()) + frontier["sec"], 3)
     spark.stop()  # one Spark JVM at a time: the executor legs spawn their own
 
@@ -524,6 +616,7 @@ def main() -> None:
         "frontier": frontier,
         "frontier_large_seen": frontier_large,
         "rendered_fetch": rendered,
+        "jaccard_dispatch": jaccard,
         "scaling_n_to_4n": scaling,
         "host_calibration": {
             "single_core_loop_per_sec": calib,
@@ -561,6 +654,8 @@ def main() -> None:
         out = {k: d[k] for k in keep if k in d}
         out["max_steal_frac"] = max(d["steal_frac"].values())
         out["min_clean_reps"] = min(d["clean_reps"].values())
+        if "store_leg_divergence" in d:
+            out["store_leg_divergence"] = d["store_leg_divergence"]
         return out
 
     def _slim_scaling(s: dict | None) -> dict | None:
@@ -600,8 +695,38 @@ def main() -> None:
     compact["frontier"] = _slim_frontier(frontier)
     compact["frontier_large_seen"] = _slim_frontier(frontier_large)
     compact["scaling_n_to_4n"] = _slim_scaling(scaling)
+    if jaccard:
+        compact["jaccard_dispatch"] = {
+            k: {
+                "picked": v["picked"],
+                "winner": v["measured_winner"],
+                "picked_winner": v["picked_winner"],
+                "sec_prefix": v["sec_prefix"],
+                "sec_brute": v["sec_brute"],
+            }
+            for k, v in jaccard.items()
+            if isinstance(v, dict) and "picked" in v
+        }
     compact["full_detail"] = "BENCH_FULL.json"
-    print(json.dumps(compact))
+    # the driver records only a ~2000-char stdout TAIL; a longer line
+    # loses its HEAD (the '{"metric"' prefix) and the whole round's bench
+    # record fails to parse — slim progressively until it fits
+    line = json.dumps(compact)
+    if len(line) > 1900 and compact.get("jaccard_dispatch"):
+        compact["jaccard_dispatch"] = {
+            k: {"picked": v["picked"], "picked_winner": v["picked_winner"]}
+            for k, v in compact["jaccard_dispatch"].items()
+        }
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        hc = compact["host_calibration"]
+        compact["host_calibration"] = {
+            k: hc[k]
+            for k in ("single_core_loop_per_sec", "steal_pct_of_capacity")
+            if k in hc
+        }
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

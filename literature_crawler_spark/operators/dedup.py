@@ -293,6 +293,76 @@ def ngram_jaccard_prefix_pairs(
     )
 
 
+def choose_jaccard_path(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    prefix_min_threshold: float = 0.7,
+    hot_df_frac: float = 0.05,
+    stat_sample: int = 2048,
+) -> str:
+    """Pick ``'prefix'`` or ``'brute'`` for exact n-gram Jaccard from the
+    threshold and a cheap corpus probe — the measured crossover
+    (``ngram_jaccard_prefix_pairs`` docstring / BENCH.md round-4):
+
+    - ``t >= prefix_min_threshold``: prefix (1.7x on clean text, 18x on
+      boilerplate corpora — near-dup thresholds shorten every prefix);
+    - low ``t`` + hot shingles: prefix — a shingle appearing in
+      ``hot_df_frac`` of documents would cost the brute join a k^2
+      candidate group, the quadratic hazard that only grows with corpus
+      size;
+    - low ``t`` on a hot-shingle-free corpus: brute (measured ~1.3x
+      faster at t=0.5 — prefixes are half of every doc and there is no
+      quadratic group to avoid).
+
+    The probe reads only the first ``stat_sample`` documents (an
+    early-stop scan, not a full pass) and aggregates their distinct
+    shingles — O(sample * shingles/doc) work regardless of corpus size.
+    Both candidates are EXACT, so dispatch never changes the output."""
+    if threshold >= prefix_min_threshold:
+        return "prefix"
+    sample_df = df.select(id_col, text_col).limit(stat_sample)
+    sh = _with_shingle_hashes(sample_df, text_col, shingle_n).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct("_sh")).alias("sh"),
+    )
+    n_docs = sample_df.count()
+    if n_docs == 0:
+        return "brute"
+    max_df = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("max_df"))
+        .collect()[0]["max_df"]
+    ) or 0
+    # absolute floor of 4: on a tiny sample a single coincidental 2-3-doc
+    # shingle can clear a pure fraction test without implying any k^2 group
+    return "prefix" if max_df >= max(4.0, hot_df_frac * n_docs) else "brute"
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    prefix_min_threshold: float = 0.7,
+    hot_df_frac: float = 0.05,
+    stat_sample: int = 2048,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via whichever join strategy
+    ``choose_jaccard_path`` predicts to win — identical output either
+    way (both paths are exact; equality is property- and driver-gated)."""
+    path = choose_jaccard_path(
+        df, text_col, id_col, shingle_n, threshold,
+        prefix_min_threshold, hot_df_frac, stat_sample,
+    )
+    fn = ngram_jaccard_prefix_pairs if path == "prefix" else ngram_jaccard_pairs
+    return fn(df, text_col, id_col, shingle_n=shingle_n, threshold=threshold)
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str,

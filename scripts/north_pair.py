@@ -316,11 +316,17 @@ def run_pair(
     max_rounds: int = 14,
     steal_frac_cap: float = 0.25,
     sleep_s: float = 10.0,
+    reps_per_leg: int = 2,
 ) -> dict:
-    """Paired N -> 4N measurement: both legs stay alive; each round runs
-    one rep on the small leg then one on the large leg (never concurrent),
-    so the round's efficiency ratio samples one host window. A round is
-    clean only when BOTH reps pass the steal gate. Returns per-leg dicts
+    """Paired N -> 4N measurement: both legs stay alive; each round
+    interleaves ``reps_per_leg`` reps per leg (a, b, a, b — never
+    concurrent), so the round's efficiency ratio samples one host window.
+    Each leg's round time is the MIN over its in-round reps that pass the
+    steal gate — the run-G min-of-clean-reps treatment (BENCH.md round-4)
+    applied per round: sub-gate steal contamination (4-14% reps measured
+    several-fold slow) is discarded as long as ONE rep per leg lands
+    clean, instead of poisoning that round's ratio. A round is clean only
+    when BOTH legs got >= 1 gate-passing rep. Returns per-leg dicts
     (same keys run_leg produces) plus the pair-level
     ``eff_paired_median`` = median over clean rounds of
     rate_large_i / (4 * rate_small_i)."""
@@ -338,12 +344,24 @@ def run_pair(
         attempts = 0
         while clean < want_clean and attempts < max_rounds:
             attempts += 1
-            dt_a, fr_a = a.rep()
-            dt_b, fr_b = b.rep()
-            ok = fr_a <= steal_frac_cap and fr_b <= steal_frac_cap
+            reps_a, reps_b = [], []
+            for _ in range(max(1, reps_per_leg)):
+                reps_a.append(a.rep())
+                reps_b.append(b.rep())
+
+            def _pick(reps):
+                cl = [(dt, fr) for dt, fr in reps if fr <= steal_frac_cap]
+                use_reps = cl or reps
+                return min(use_reps, key=lambda r: r[0]) + (bool(cl),)
+
+            dt_a, fr_a, ok_a = _pick(reps_a)
+            dt_b, fr_b, ok_b = _pick(reps_b)
+            ok = ok_a and ok_b
             rounds.append({
                 "sec_small": round(dt_a, 3), "sec_large": round(dt_b, 3),
                 "steal_small": round(fr_a, 3), "steal_large": round(fr_b, 3),
+                "reps_small": [round(dt, 3) for dt, _ in reps_a],
+                "reps_large": [round(dt, 3) for dt, _ in reps_b],
                 "clean": ok,
                 "eff": round(dt_a / (4 * dt_b), 3),
             })

@@ -300,3 +300,73 @@ def test_prefix_length_exact_at_float_boundary(spark):
     )
     # 0.14*50 is the same overshooting product: 50 - ceil(7) + 1 = 44
     assert _prefix_tokens(sh50, 0.14).count() == 44
+
+
+def _clean_corpus(spark, n_docs=40, n_toks=25):
+    """Hot-shingle-free corpus: md5-derived tokens, no shared substrings
+    beyond chance hex collisions."""
+    import hashlib
+
+    rows = [
+        (
+            i,
+            " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:10]
+                for j in range(n_toks)
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_dispatch_picks_measured_winner(spark):
+    """choose_jaccard_path encodes the measured crossover (BENCH.md r4):
+    prefix at near-dup thresholds or on hot-shingle corpora (where the
+    brute join's k^2 group is the hazard), brute only for low-threshold
+    scans of hot-shingle-free corpora."""
+    clean = _clean_corpus(spark)
+    boiler = spark.createDataFrame(
+        [
+            (
+                i,
+                "shared boilerplate license header text "
+                + " ".join(f"u{i}t{j}z" for j in range(20)),
+            )
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    # high threshold -> prefix regardless of corpus (no probe needed)
+    assert dedup.choose_jaccard_path(clean, "text", "doc_id", threshold=0.8) == "prefix"
+    # low threshold on clean text -> brute (the measured 1.3x case)
+    assert dedup.choose_jaccard_path(clean, "text", "doc_id", threshold=0.5) == "brute"
+    # low threshold + universal boilerplate -> prefix (the 18x hazard case)
+    assert dedup.choose_jaccard_path(boiler, "text", "doc_id", threshold=0.5) == "prefix"
+
+
+def test_jaccard_auto_output_identical_on_both_paths(spark):
+    """Dispatch never changes rows: auto == prefix == brute on a corpus
+    with injected near-dups, at a threshold for each dispatch branch."""
+    from pyspark.sql import functions as F
+
+    base = _clean_corpus(spark, n_docs=20)
+    near = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.length("text") - 11).alias("text"),
+    )
+    corpus = base.unionByName(near)
+    for t in (0.5, 0.8):
+        want = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                corpus, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs_auto(
+                corpus, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        assert want and got == want, f"t={t}"

@@ -153,3 +153,28 @@ def test_minhash_signature_empty_doc(spark):
     assert all(v is not None for v in sigs[2])  # sentinel, never NULL
     # two empty docs collide (same sentinel signature) rather than vanish
     assert sigs[2] == [hashing._MERSENNE31] * 8
+
+
+def test_store_leg_divergence_flag():
+    """bench.py's in-artifact sanity flag (VERDICT r4 item 8): the two
+    maintained-store legs run the same kernel on the same input, so a
+    >3x throughput gap marks a contaminated leg."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    ok = bench.store_leg_divergence(3_180_000, 2_590_000)
+    assert ok == {"ratio": 1.23, "suspect": False}
+    # run F's outlier pattern: cuckoo 0.89M vs bucketed 3.2M
+    bad = bench.store_leg_divergence(3_200_000, 890_000)
+    assert bad["suspect"] and bad["ratio"] > 3
+    # symmetric + zero-safe
+    assert bench.store_leg_divergence(0, 1000)["suspect"]
+    assert (
+        bench.store_leg_divergence(890_000, 3_200_000)["ratio"] == bad["ratio"]
+    )
