@@ -140,7 +140,7 @@ def decode_image_stats(data: pd.Series) -> pd.DataFrame:
     """Vectorized decode: bytes -> (w, h, fmt, phash, ok) per Arrow batch."""
     rows = []
     for blob in data:
-        px, w, h, fmt = decode_image(blob)
+        px, w, h, fmt = decode_any(blob)
         if px is None:
             rows.append((w, h, fmt, 0, False))
         else:
@@ -153,8 +153,8 @@ def psnr_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """PSNR between two image-bytes columns (inf -> 999.0 for SQL-friendliness)."""
     out = []
     for ba, bb in zip(a, b):
-        pa, *_ = decode_image(ba)
-        pb, *_ = decode_image(bb)
+        pa, *_ = decode_any(ba)
+        pb, *_ = decode_any(bb)
         if pa is None or pb is None or pa.shape != pb.shape:
             out.append(float("nan"))
         else:
@@ -174,7 +174,7 @@ def resize_images(df: DataFrame, bytes_col: str, out_w: int, out_h: int) -> Data
         for pdf in batches:
             res = []
             for blob in pdf[bytes_col]:
-                px, w, h, fmt = decode_image(blob)
+                px, w, h, fmt = decode_any(blob)
                 if px is None:
                     res.append(None)
                     continue
@@ -241,7 +241,7 @@ def crop_black_borders(df: DataFrame, bytes_col: str) -> DataFrame:
                 continue
             out_b, out_w, out_h = [], [], []
             for blob in pdf[bytes_col]:
-                px, _w, _h, fmt = decode_image(blob)
+                px, _w, _h, fmt = decode_any(blob)
                 if px is None:
                     out_b.append(None)
                     out_w.append(None)
@@ -259,14 +259,71 @@ def crop_black_borders(df: DataFrame, bytes_col: str) -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
-def decode_external_format(data: bytes) -> np.ndarray:
-    """Decode a real-world codec (JPEG/PNG via Pillow) — NOT AVAILABLE in
-    this container (no image libraries baked in). The fake codec above is
-    the deterministic stand-in; this symbol marks the swap point."""
-    raise NotImplementedError(
-        "real image codecs require Pillow/libjpeg, absent from this environment; "
-        "use the FIMG fake codec (encode_image/decode_image)"
-    )
+def _pillow():
+    """Guarded Pillow import: the sandbox has no image libs baked in, so
+    the real codec activates only where the lib exists (deploy)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_external_format(data: bytes) -> tuple[np.ndarray | None, int, int, str]:
+    """Decode a real-world codec (JPEG/PNG/GIF/WebP via Pillow) into the
+    same ``(pixels|None, w, h, fmt)`` tuple the fake codec produces —
+    drop-in for every stage. Reference decode sites:
+    ``app/util/pic_back_deal.py:4-35`` (cv2 reads screenshots),
+    ``app/service/common/parse_pdf.py:266-305`` (fitz rasters).
+
+    Raises NotImplementedError where Pillow is absent (this sandbox) —
+    the documented swap point; inside the Spark stages use
+    ``decode_any``, which degrades to a marked-undecodable row instead
+    of failing the task."""
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError(
+            "real image codecs require Pillow/libjpeg, absent from this "
+            "environment; use the FIMG fake codec (encode_image/decode_image)"
+        )
+    import io
+
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            fmt = (im.format or "").lower()
+            px = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None, 0, 0, ""
+    h, w = px.shape[:2]
+    return px, w, h, fmt
+
+
+def encode_external_format(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode HxWx3 uint8 pixels through Pillow (the real-codec twin of
+    ``encode_image``); raises where Pillow is absent."""
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError("Pillow absent; use encode_image (FIMG)")
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(pixels, mode="RGB").save(buf, format=fmt.upper())
+    return buf.getvalue()
+
+
+def decode_any(data: bytes) -> tuple[np.ndarray | None, int, int, str]:
+    """Codec dispatch for the Spark stages: FIMG blobs take the fake
+    codec; anything else takes the Pillow codec when the lib exists.
+    Never raises — an undecodable blob is ``(None, 0, 0, "")``, the
+    marked-row contract every mapInPandas stage already handles — so a
+    real JPEG fed to the pipeline decodes at deploy and degrades to a
+    counted failure (not a task abort) in codec-less environments."""
+    if data is not None and len(data) >= 4 and bytes(data[:4]) == MAGIC:
+        return decode_image(data)
+    if _pillow() is None:
+        return None, 0, 0, ""
+    return decode_external_format(data)
 
 
 def phash_distance(a: Column, b: Column) -> Column:
@@ -367,22 +424,72 @@ def sample_video_frames(
     return df.mapInPandas(run, schema)
 
 
-def decode_audio(data: bytes) -> np.ndarray:
-    """Decode a real-world audio codec — NOT AVAILABLE in this container
-    (no libsndfile/ffmpeg). Swap point for deploy, mirroring
-    ``decode_external_format``."""
-    raise NotImplementedError(
-        "real audio codecs require libsndfile/ffmpeg, absent from this "
-        "environment; audio_features uses a deterministic fake spectrum"
-    )
+def decode_audio(data: bytes) -> tuple[np.ndarray | None, int]:
+    """Decode an audio blob into ``(mono float32 samples in [-1, 1],
+    sample_rate)``.
+
+    Real formats: uncompressed RIFF/WAVE decodes through the stdlib
+    ``wave`` module (always available, 8/16/32-bit PCM, channels
+    averaged to mono); anything else tries ``soundfile`` (libsndfile)
+    when importable — the guarded deploy codec. Returns ``(None, 0)``
+    for undecodable blobs: inside the Spark stages a bad blob is a
+    marked row, never a task abort."""
+    if data is None or len(data) < 12:
+        return None, 0
+    if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(bytes(data))) as w:
+                n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+                raw = w.readframes(w.getnframes())
+        except (wave.Error, EOFError, OSError):
+            return None, 0
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None or n_ch < 1:
+            return None, 0
+        arr = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if width == 1:
+            arr = (arr - 128.0) / 128.0
+        else:
+            arr = arr / float(2 ** (8 * width - 1))
+        if n_ch > 1:
+            arr = arr[: (arr.size // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+        return arr, rate
+    try:
+        import soundfile as sf  # noqa: PLC0415 — deploy-only codec
+    except ImportError:
+        return None, 0
+    import io
+
+    try:
+        arr, rate = sf.read(io.BytesIO(bytes(data)), dtype="float32")
+    except Exception:
+        return None, 0
+    if arr.ndim > 1:
+        arr = arr.mean(axis=1)
+    return arr.astype(np.float32), int(rate)
+
+
+def _fft_band_energies(samples: np.ndarray, n_bands: int) -> np.ndarray:
+    """Mean |rFFT| magnitude per equal-width frequency band — the
+    deterministic real-signal feature the fake byte-spectrum stands in
+    for (MFCC/mel at deploy would slot in here)."""
+    mag = np.abs(np.fft.rfft(samples))
+    pad = (-mag.size) % n_bands
+    if pad:
+        mag = np.pad(mag, (0, pad))
+    return mag.reshape(n_bands, -1).mean(axis=1).astype(np.float32)
 
 
 def audio_features(df: DataFrame, bytes_col: str, n_bands: int = 16) -> DataFrame:
-    """Fixed-length feature vector per audio blob (deterministic FAKE
-    band-energy spectrum seeded from the byte content — stands in for
-    MFCC/mel until ``decode_audio`` is real). Adds
+    """Fixed-length feature vector per audio blob. RIFF/WAVE (and any
+    soundfile-decodable) blobs take the REAL path — ``decode_audio`` to
+    mono PCM, then rFFT band energies; other blobs keep the deterministic
+    fake byte-spectrum (the stand-in the driver fixture uses). Adds
     ``audio_feat: array<float>``; Arrow-batched, schema/partitioning are
-    the real multimodal plumbing."""
+    the real multimodal plumbing either way."""
     schema = T.StructType(
         df.schema.fields + [T.StructField("audio_feat", T.ArrayType(T.FloatType()))]
     )
@@ -393,6 +500,10 @@ def audio_features(df: DataFrame, bytes_col: str, n_bands: int = 16) -> DataFram
             for blob in pdf[bytes_col]:
                 if blob is None:
                     feats.append(None)
+                    continue
+                samples, _rate = decode_audio(blob)
+                if samples is not None and samples.size:
+                    feats.append(_fft_band_energies(samples, n_bands).tolist())
                     continue
                 arr = np.frombuffer(blob[:4096], dtype=np.uint8).astype(np.float32)
                 pad = (-arr.size) % n_bands

@@ -120,6 +120,53 @@ def _raster(px: np.ndarray, scale: float) -> np.ndarray:
     return px[np.ix_(ys, xs)]
 
 
+def _fitz():
+    """Guarded PyMuPDF import — the real-PDF codec activates only where
+    the lib exists (deploy); this sandbox ships neither fitz nor its
+    native deps."""
+    try:
+        import fitz  # noqa: PLC0415
+
+        return fitz
+    except ImportError:
+        return None
+
+
+def decode_real_pdf(
+    data: bytes, scale: float = RASTER_SCALE
+) -> tuple[list[tuple[int, str, int]], list[np.ndarray]] | None:
+    """Real-PDF twin of ``decode_pdf`` + the raster, via PyMuPDF
+    (reference ``app/service/common/parse_pdf.py:266-305`` rasterizes
+    each page through ``page.get_pixmap(matrix=fitz.Matrix(scale,
+    scale))``; TOC via ``doc.get_toc()``). Returns ``(toc, [HxWx3 uint8
+    page pixels])`` — pages arrive already rasterized at ``scale``
+    because fitz's pixmap IS the raster step. ``None`` when the blob is
+    not a parseable PDF or PyMuPDF is absent (the Spark stages then skip
+    the row — marked, never a task abort)."""
+    fitz = _fitz()
+    if fitz is None or data is None or bytes(data[:5]) != b"%PDF-":
+        return None
+    try:
+        doc = fitz.open(stream=bytes(data), filetype="pdf")
+    except Exception:
+        return None
+    try:
+        toc = [(lvl, title, page) for lvl, title, page in doc.get_toc(simple=True)]
+        mat = fitz.Matrix(scale, scale)
+        pages = []
+        for page in doc:
+            pix = page.get_pixmap(matrix=mat, alpha=False)
+            arr = np.frombuffer(pix.samples, dtype=np.uint8).reshape(
+                pix.height, pix.width, pix.n
+            )
+            pages.append(arr[:, :, :3].copy())
+        return toc, pages
+    except Exception:
+        return None
+    finally:
+        doc.close()
+
+
 # -------------------------------------------------------------- Spark API ----
 
 PAGES_OUT_SCHEMA = T.StructType(
@@ -157,6 +204,15 @@ def rasterize_pdf_pages(
             for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 dec = decode_pdf(blob)
                 if dec is None:
+                    # real %PDF- blobs: fitz pixmaps arrive pre-rastered
+                    real = decode_real_pdf(blob, scale)
+                    if real is None:
+                        continue
+                    for i, big in enumerate(real[1]):
+                        rows.append(
+                            (rid, i, big.shape[1], big.shape[0],
+                             encode_image(big, "png"))
+                        )
                     continue
                 _toc, pages = dec
                 for i, page_blob in enumerate(pages):
@@ -183,7 +239,9 @@ def extract_toc(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
             for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 dec = decode_pdf(blob)
                 if dec is None:
-                    continue
+                    dec = decode_real_pdf(blob)  # fitz path for %PDF- blobs
+                    if dec is None:
+                        continue
                 toc, pages = dec
                 flat = normalize_toc(toc)
                 rows.append(

@@ -78,9 +78,19 @@ def test_resize(spark):
         assert (w, h) == (8, 8) and px is not None
 
 
-def test_external_codec_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        im.decode_external_format(b"\xff\xd8\xff")
+def test_external_codec_guarded():
+    """Without Pillow the explicit swap point raises; the in-stage
+    dispatch (decode_any) instead degrades to a marked-undecodable row."""
+    if im._pillow() is None:
+        with pytest.raises(NotImplementedError):
+            im.decode_external_format(b"\xff\xd8\xff")
+    assert im.decode_any(b"\xff\xd8\xff\x00not-an-image") == (None, 0, 0, "") or (
+        im._pillow() is not None
+    )
+    # FIMG blobs always dispatch to the fake codec, Pillow or not
+    px = im.pixels_for_id("disp", 6, 5)
+    got, w, h, fmt = im.decode_any(im.encode_image(px, "png"))
+    assert (w, h, fmt) == (6, 5, "png") and (got == px).all()
 
 
 def test_video_roundtrip_and_frame_sampling(spark):
@@ -118,9 +128,67 @@ def test_audio_features_deterministic_shape(spark):
     assert rows == rows2
 
 
-def test_audio_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        im.decode_audio(b"RIFF")
+def _wav_bytes(freq_hz=440.0, rate=8000, n=2048, channels=1, width=2):
+    """Deterministic PCM WAV via the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    mono = np.sin(2 * np.pi * freq_hz * t)
+    if width == 2:
+        pcm = (mono * 32767).astype(np.int16)
+    elif width == 1:
+        pcm = ((mono * 127) + 128).astype(np.uint8)
+    else:
+        pcm = (mono * (2**31 - 1)).astype(np.int32)
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue(), mono
+
+
+def test_audio_decode_real_wav():
+    """The real-audio path: stdlib-WAV blobs decode to mono float32
+    samples allclose to the source signal, at the declared rate."""
+    import numpy as np
+
+    blob, mono = _wav_bytes()
+    samples, rate = im.decode_audio(blob)
+    assert rate == 8000 and samples.dtype == np.float32
+    assert np.allclose(samples, mono, atol=2 / 32767)
+    # stereo averages to mono; 8-bit decodes too
+    blob2, mono2 = _wav_bytes(channels=2)
+    s2, _ = im.decode_audio(blob2)
+    assert np.allclose(s2, mono2, atol=2 / 32767)
+    blob3, mono3 = _wav_bytes(width=1)
+    s3, _ = im.decode_audio(blob3)
+    assert np.allclose(s3, mono3, atol=2 / 127)
+    # garbage / truncated RIFF: marked undecodable, never a raise
+    assert im.decode_audio(b"RIFF\x00\x00\x00\x00WAVEjunk") == (None, 0)
+    assert im.decode_audio(b"\x00" * 64) == (None, 0)
+
+
+def test_audio_features_real_wav_spark(spark):
+    """audio_features dispatches WAV blobs to the decode->rFFT path in
+    the real mapInPandas stage: a 440 Hz tone's dominant band is the one
+    containing 440 Hz, and the vector matches the local computation."""
+    import numpy as np
+
+    blob, _ = _wav_bytes()
+    df = spark.createDataFrame([("a", bytearray(blob))], "id string, bytes binary")
+    feats = im.audio_features(df, "bytes", n_bands=16).collect()[0].audio_feat
+    samples, rate = im.decode_audio(blob)
+    want = im._fft_band_energies(samples, 16)
+    assert np.allclose(feats, want, rtol=1e-5)
+    # band k spans [k, k+1) * (rate/2)/16 = 250 Hz: 440 Hz -> band 1
+    assert int(np.argmax(feats)) == 1
 
 
 def test_crop_border_pixels_numpy():
@@ -160,3 +228,32 @@ def test_crop_black_borders_spark(spark):
         assert (r.crop_w, r.crop_h) == (12, 9)
         px, w, h, fmt = im.decode_image(bytes(r.cropped))
         assert (w, h, fmt) == (12, 9, "png") and px is not None
+
+
+def test_real_codec_roundtrip_when_pillow_present(spark):
+    """The SAME fidelity gates through the real codec wherever Pillow
+    exists (skips cleanly in codec-less sandboxes): lossless PNG
+    round-trip is exact, lossy JPEG clears the PSNR >= 40 dB gate, and a
+    real blob flows through the decode_image_stats Spark stage via
+    decode_any."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    px = im.pixels_for_id("real-codec", 24, 18)
+    png = im.encode_external_format(px, "png")
+    got, w, h, fmt = im.decode_external_format(png)
+    assert (w, h, fmt) == (24, 18, "png") and (got == px).all()
+    jpg = im.encode_external_format(px, "jpeg")
+    got2, *_ = im.decode_any(jpg)
+    assert got2 is not None and im.psnr(px, got2) >= 40
+    df = spark.createDataFrame(
+        [("p", bytearray(png)), ("j", bytearray(jpg))], "id string, bytes binary"
+    )
+    rows = {
+        r.id: r.s
+        for r in df.select("id", im.decode_image_stats(F.col("bytes")).alias("s")).collect()
+    }
+    assert rows["p"].ok and (rows["p"].w, rows["p"].h) == (24, 18)
+    assert rows["j"].ok and rows["j"].fmt == "jpeg"
+    assert rows["p"].phash == im.phash64_pixels(px)
+    assert np.int64(rows["j"].phash) is not None

@@ -3,6 +3,8 @@ reference get_bookmarks pure logic), raster dims, Spark fan-out."""
 
 import json
 
+import pytest
+
 import numpy as np
 
 from literature_crawler_spark.operators.images import decode_image, pixels_for_id
@@ -63,3 +65,28 @@ def test_spark_toc_and_raster(spark):
     assert (p0.page_w, p0.page_h) == (30, 37)
     px, w, h, _ = decode_image(bytes(p0.png))
     assert (w, h) == (30, 37) and px is not None
+
+
+def test_real_pdf_raster_when_fitz_present(spark):
+    """Real-PDF twin of the raster/TOC stages through PyMuPDF wherever it
+    exists (skips cleanly in this sandbox): a generated real PDF's pages
+    rasterize at the scale-matrix dimensions and its bookmarks surface
+    through extract_toc."""
+    fitz = pytest.importorskip("fitz")
+    doc = fitz.open()
+    for i in range(2):
+        page = doc.new_page(width=72, height=90)
+        page.insert_text((10, 20), f"page {i}")
+    doc.set_toc([[1, "Intro", 1], [2, "Detail", 2]])
+    blob = doc.tobytes()
+    doc.close()
+
+    df = spark.createDataFrame(
+        [("real-1", bytearray(blob))], "doc_id string, bytes binary"
+    )
+    pages = P.rasterize_pdf_pages(df, "bytes", "doc_id", scale=2.0).collect()
+    assert len(pages) == 2
+    assert all(p.page_w == 144 and p.page_h == 180 for p in pages)
+    toc = P.extract_toc(df, "bytes", "doc_id").collect()[0]
+    assert toc.n_pages == 2 and toc.n_toc == 2
+    assert toc.toc_titles == "Intro|Detail" and toc.max_level == 2
