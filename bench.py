@@ -388,7 +388,14 @@ def bench_jaccard_dispatch(spark, cpus: int) -> dict:
         s_prefix = run(dedup.ngram_jaccard_prefix_pairs)
         s_brute = run(dedup.ngram_jaccard_pairs)
         picked = dedup.choose_jaccard_path(corpus, "text", "doc_id", threshold=t)
-        winner = "prefix" if s_prefix[0] <= s_brute[0] else "brute"
+        # a winner below the noise band is a tie — in-suite reps of the
+        # same leg swing >15% run-to-run, so asserting a pick at 1.05x
+        # margins would flip randomly; either path is right at parity
+        lo, hi = sorted((s_prefix[0], s_brute[0]))
+        if hi < 1.15 * lo:
+            winner = "tie"
+        else:
+            winner = "prefix" if s_prefix[0] <= s_brute[0] else "brute"
         return {
             "threshold": t,
             "sec_prefix": s_prefix[0], "sec_brute": s_brute[0],
@@ -396,7 +403,7 @@ def bench_jaccard_dispatch(spark, cpus: int) -> dict:
             "clean_reps": {"prefix": s_prefix[2], "brute": s_brute[2]},
             "picked": picked,
             "measured_winner": winner,
-            "picked_winner": picked == winner,
+            "picked_winner": winner == "tie" or picked == winner,
         }
 
     out = {
