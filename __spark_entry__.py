@@ -243,25 +243,24 @@ def _crawl_canonicalize_counts(spark, sf_dir):
     browser_rendered_stats (S6), the round-4 text_thirds precedent.
     ``n_allowed`` counts candidates surviving the robots rules; a host
     whose every URL is blocked still reports its scan counts with
-    n_allowed = 0 (left join, not inner)."""
+    n_allowed = 0. ONE pass: ``mark_robots`` (the marking twin of
+    ``apply_robots`` — identical RFC 9309 precedence, broadcast rule
+    join) flags each candidate and a conditional aggregate folds both
+    counts into a single scan + single groupBy, instead of aggregating
+    the candidates twice and re-joining on host."""
     cand = fr.canonicalize_candidates(_event_urls(spark, sf_dir))
     robots = spark.createDataFrame(
         [("*", "/ads/", False), ("h7.example.org", "/e/", False)],
         "host string, pattern string, allow boolean",
     )
-    allowed = (
-        fr.apply_robots(cand, robots)
-        .groupBy("host")
-        .agg(F.count("*").alias("n_allowed"))
-    )
     return (
-        cand.groupBy("host")
+        fr.mark_robots(cand, robots, "allowed")
+        .groupBy("host")
         .agg(
             F.count("*").alias("n_urls"),
             F.countDistinct("canon_url").alias("n_unique"),
+            F.count_if(F.col("allowed")).alias("n_allowed"),
         )
-        .join(allowed, "host", "left")
-        .withColumn("n_allowed", F.coalesce(F.col("n_allowed"), F.lit(0).cast("long")))
     )
 
 

@@ -232,6 +232,24 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     rules collapse to ONE broadcast row (a single array), so the only NLJ
     left is a 1-row cross join. The candidates side never shuffles.
     """
+    return (
+        mark_robots(candidates, robots, "_robots_allowed")
+        .filter(F.col("_robots_allowed"))
+        .drop("_robots_allowed")
+    )
+
+
+def mark_robots(
+    candidates: DataFrame, robots: DataFrame, flag_col: str = "robots_allowed"
+) -> DataFrame:
+    """``apply_robots`` as a MARKING pass: same RFC 9309 precedence and
+    broadcast plan shape, but every candidate row survives with a boolean
+    ``flag_col`` instead of being filtered (``apply_robots`` itself is
+    this plus the filter). One scan then serves both the pre-filter
+    counts and the post-filter aggregate (conditional agg on the flag) —
+    the merged crawl_canonicalize_counts entry's shape, and generally
+    cheaper than running the filter variant as a second pass over the
+    same candidates."""
     rules = robots.select(
         "host",
         F.struct(
@@ -249,7 +267,7 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     out = candidates.join(F.broadcast(host_rules), "host", "left").crossJoin(
         F.broadcast(global_rules)
     )
-    empty = F.slice(F.col("_g_rules"), 1, 0)  # typed empty array
+    empty = F.slice(F.col("_g_rules"), 1, 0)
     all_rules = F.concat(F.coalesce(F.col("_h_rules"), empty), F.col("_g_rules"))
     url = F.col("canon_url")
     matched = F.filter(all_rules, lambda r: F.regexp_like(url, r["rx"]))
@@ -263,9 +281,8 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         ).otherwise(acc),
     )
     return (
-        out.withColumn("_verdict", best)
-        .filter(F.col("_verdict")["allow"])
-        .drop("_verdict", "_h_rules", "_g_rules")
+        out.withColumn(flag_col, best["allow"])
+        .drop("_h_rules", "_g_rules")
     )
 
 

@@ -183,6 +183,10 @@ def test_apply_robots_wildcards_and_precedence(spark):
         "https://h1.org/private/ok/data",
         "https://h1.org/other",
     }
+    # mark_robots is the marking twin: every row survives, flag == kept
+    marked = fr.mark_robots(cand, robots, "ok").collect()
+    assert len(marked) == cand.count()
+    assert {r.canon_url for r in marked if r.ok} == kept
 
 
 def test_apply_robots_scale_plan(spark):
