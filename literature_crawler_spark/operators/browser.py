@@ -205,23 +205,128 @@ def make_synthetic_renderer(
     return render
 
 
-def make_selenium_renderer(*args, **kwargs) -> Renderer:
-    """Real-browser swap point (NOT available in this sandbox).
+def make_selenium_renderer(
+    readiness_selector: str = "body",
+    annotation_selector: str | None = None,
+    timeout_s: float = 10.0,
+    recycle_every: int = 100,
+    scroll_rounds: int = 3,
+    headless: bool = True,
+) -> Renderer:
+    """Real-browser renderer behind a guarded selenium import (raises
+    NotImplementedError where selenium/Chrome are absent — this sandbox).
 
-    At deploy this returns a closure holding one headless Chrome per
-    Python worker (created lazily on first call, recycled every
-    ``recycle_every`` navigations exactly like ``screenshot_figures``
-    models, quit in an ``atexit`` hook), performing: ``driver.get(url)``
-    -> bounded ``WebDriverWait`` on the readiness selector -> scroll to
-    ``document.body.scrollHeight`` -> return ``page_source`` parsed into
-    the renderer dict. Reference recipe:
-    ``current_protocol_crawl_util.py:427`` (``get_selenium_driver``) and
+    The returned closure holds ONE headless Chrome per Python worker:
+    created lazily on first call, recycled every ``recycle_every``
+    navigations (the ``screenshot_figures`` recycle model), quit via
+    ``atexit``. Per page: ``driver.get(url)`` -> bounded
+    ``WebDriverWait`` on ``readiness_selector`` (a timeout returns
+    ``None`` so the Spark stage's retry ladder doubles as the readiness
+    wait, exactly like the synthetic renderer's settle behavior) ->
+    ``scroll_rounds`` scrolls to ``document.body.scrollHeight`` (the
+    incremental annotation loader's browser half; rounds stop early once
+    the height stops growing) -> ``page_source`` parsed into the
+    renderer dict (title caption / absolutized links / og:image via the
+    shared ``httpclient.parse_fetch_page``, lazy figures from
+    ``data-lg-src`` promotion). A dead browser poisons only its own row:
+    the closure drops the driver and returns ``None`` for a ladder
+    retry on a fresh Chrome. Reference recipe:
+    ``current_protocol_crawl_util.py:396-425`` (driver options) and
     ``:39-130`` (wait + scroll + parse loop).
     """
-    raise NotImplementedError(
-        "selenium/Chrome not available in this environment; "
-        "use make_synthetic_renderer (deterministic fake) instead"
-    )
+    try:
+        from selenium import webdriver  # noqa: PLC0415 — deploy-only
+        from selenium.common.exceptions import (  # noqa: PLC0415
+            TimeoutException,
+            WebDriverException,
+        )
+        from selenium.webdriver.common.by import By  # noqa: PLC0415
+        from selenium.webdriver.support import (  # noqa: PLC0415
+            expected_conditions as EC,
+        )
+        from selenium.webdriver.support.ui import WebDriverWait  # noqa: PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "selenium/Chrome not available in this environment; "
+            "use make_synthetic_renderer (deterministic fake) instead"
+        ) from e
+
+    import atexit
+    from urllib.parse import urljoin
+
+    state: dict = {"driver": None, "navs": 0}
+
+    def _quit():
+        if state["driver"] is not None:
+            try:
+                state["driver"].quit()
+            except Exception:
+                pass
+            state["driver"] = None
+
+    atexit.register(_quit)
+
+    def _driver():
+        if state["driver"] is None or state["navs"] >= recycle_every:
+            _quit()
+            opts = webdriver.ChromeOptions()
+            if headless:
+                opts.add_argument("--headless=new")
+            # reference driver flags (current_protocol_crawl_util.py:396-425);
+            # images off — the download stage fetches binaries, not the DOM pass
+            for a in (
+                "--no-sandbox",
+                "--disable-gpu",
+                "--disable-dev-shm-usage",
+                "--blink-settings=imagesEnabled=false",
+            ):
+                opts.add_argument(a)
+            state["driver"] = webdriver.Chrome(options=opts)
+            state["navs"] = 0
+        state["navs"] += 1
+        return state["driver"]
+
+    def render(url: str) -> dict | None:
+        try:
+            d = _driver()
+            d.get(url)
+            WebDriverWait(d, timeout_s).until(
+                EC.presence_of_element_located((By.CSS_SELECTOR, readiness_selector))
+            )
+            rounds, last_h = 0, -1
+            for rounds in range(1, scroll_rounds + 1):  # noqa: B007
+                h = d.execute_script("return document.body.scrollHeight")
+                if h == last_h:
+                    break
+                last_h = h
+                d.execute_script("window.scrollTo(0, document.body.scrollHeight)")
+            n_ann = (
+                len(d.find_elements(By.CSS_SELECTOR, annotation_selector))
+                if annotation_selector
+                else 0
+            )
+            html = d.page_source
+        except TimeoutException:
+            return None  # DOM not settled yet: ladder retries
+        except WebDriverException:
+            state["driver"] = None  # dead browser: rebuild on retry
+            return None
+        from literature_crawler_spark.operators.httpclient import parse_fetch_page
+
+        parsed = parse_fetch_page(html.encode("utf-8", "replace"), url, "utf-8")
+        figures = [urljoin(url, f) for f in _DATA_LG_SRC_RE.findall(html)]
+        return {
+            "status": "rendered",
+            "image_id": parsed["image_id"],
+            "caption": parsed["caption"],
+            "links": parsed["links"],
+            "content": html,
+            "figures": figures,
+            "n_annotations": n_ann,
+            "annotation_rounds": rounds,
+        }
+
+    return render
 
 
 def as_fetcher(renderer: Renderer):
