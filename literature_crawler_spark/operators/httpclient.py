@@ -120,10 +120,12 @@ def make_urllib_fetcher(
             return None
         if outcome != "ok":
             return {"status": outcome}
+        import http.client
+
         try:
             body = resp.read(max_bytes)
             charset = resp.headers.get_content_charset()
-        except OSError:
+        except (OSError, http.client.HTTPException):
             return None  # died mid-body: transient
         finally:
             resp.close()
@@ -154,6 +156,8 @@ def make_urllib_downloader(
             return {"status": outcome}
         declared = resp.headers.get("Content-Length")
         declared_n = int(declared) if declared and declared.isdigit() else None
+        import http.client
+
         chunks, total = [], 0
         try:
             while total < max_bytes:
@@ -162,7 +166,7 @@ def make_urllib_downloader(
                     break
                 chunks.append(chunk)
                 total += len(chunk)
-        except OSError:
+        except (OSError, http.client.HTTPException):
             if declared_n is None:
                 return None  # unknown size + dead socket: retry
             # short read with a declared size: surface it for the
@@ -201,10 +205,12 @@ def make_urllib_robots_fetcher(
             # 5xx/unreachable (§2.3.1.4) must assume complete disallow,
             # which the ladder-exhaust 'error' path already produces
             return ""
+        import http.client
+
         try:
             body = resp.read(max_bytes)
             charset = resp.headers.get_content_charset()
-        except OSError:
+        except (OSError, http.client.HTTPException):
             return None
         finally:
             resp.close()
