@@ -211,6 +211,7 @@ def make_selenium_renderer(
     timeout_s: float = 10.0,
     recycle_every: int = 100,
     scroll_rounds: int = 3,
+    scroll_wait_s: float = 0.5,
     headless: bool = True,
 ) -> Renderer:
     """Real-browser renderer behind a guarded selenium import (raises
@@ -293,6 +294,8 @@ def make_selenium_renderer(
             WebDriverWait(d, timeout_s).until(
                 EC.presence_of_element_located((By.CSS_SELECTOR, readiness_selector))
             )
+            import time as _time
+
             rounds, last_h = 0, -1
             for rounds in range(1, scroll_rounds + 1):  # noqa: B007
                 h = d.execute_script("return document.body.scrollHeight")
@@ -300,6 +303,10 @@ def make_selenium_renderer(
                     break
                 last_h = h
                 d.execute_script("window.scrollTo(0, document.body.scrollHeight)")
+                # lazy XHRs need a beat before the next height read, or
+                # every page exits after one scroll (reference loop waits
+                # between rounds, current_protocol_crawl_util.py:39-130)
+                _time.sleep(scroll_wait_s)
             n_ann = (
                 len(d.find_elements(By.CSS_SELECTOR, annotation_selector))
                 if annotation_selector
@@ -309,8 +316,8 @@ def make_selenium_renderer(
         except TimeoutException:
             return None  # DOM not settled yet: ladder retries
         except WebDriverException:
-            state["driver"] = None  # dead browser: rebuild on retry
-            return None
+            _quit()  # quit() the dead pair — dropping the reference alone
+            return None  # leaks a chromedriver+Chrome per failure
         from literature_crawler_spark.operators.httpclient import parse_fetch_page
 
         parsed = parse_fetch_page(html.encode("utf-8", "replace"), url, "utf-8")

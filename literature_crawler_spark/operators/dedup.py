@@ -323,20 +323,31 @@ def choose_jaccard_path(
     Both candidates are EXACT, so dispatch never changes the output."""
     if threshold >= prefix_min_threshold:
         return "prefix"
-    sample_df = df.select(id_col, text_col).limit(stat_sample)
-    sh = _with_shingle_hashes(sample_df, text_col, shingle_n).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct("_sh")).alias("sh"),
+    # persist the exploded sample so n_docs and max_df come from the SAME
+    # rows in one source scan — an unordered limit() re-executed across
+    # two jobs can sample different rows (and doubles the probe I/O)
+    sh = (
+        _with_shingle_hashes(
+            df.select(id_col, text_col).limit(stat_sample), text_col, shingle_n
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct("_sh")).alias("sh"),
+        )
+        .persist()
     )
-    n_docs = sample_df.count()
-    if n_docs == 0:
-        return "brute"
-    max_df = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("c"))
-        .agg(F.max("c").alias("max_df"))
-        .collect()[0]["max_df"]
-    ) or 0
+    try:
+        n_docs = sh.select("_id").distinct().count()
+        if n_docs == 0:
+            return "brute"
+        max_df = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("max_df"))
+            .collect()[0]["max_df"]
+        ) or 0
+    finally:
+        sh.unpersist()
     # absolute floor of 4: on a tiny sample a single coincidental 2-3-doc
     # shingle can clear a pure fraction test without implying any k^2 group
     return "prefix" if max_df >= max(4.0, hot_df_frac * n_docs) else "brute"

@@ -75,6 +75,16 @@ def _open(url: str, timeout: float, user_agent: str, headers: dict | None = None
         return "transient", None
 
 
+def _decode_body(body: bytes, charset: str | None) -> str:
+    """Decode with the server-declared charset, falling back to UTF-8 —
+    a bogus 'charset=...' token must yield a replaced-char string, not a
+    LookupError that aborts the Spark stage."""
+    try:
+        return body.decode(charset or "utf-8", errors="replace")
+    except LookupError:
+        return body.decode("utf-8", errors="replace")
+
+
 _HREF_RE = re.compile(r"""<a\s[^>]*href\s*=\s*["']([^"'#]+)["']""", re.I)
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
 _OG_IMAGE_RE = re.compile(
@@ -90,7 +100,7 @@ def parse_fetch_page(body: bytes, url: str, charset: str | None) -> dict:
     transport (pass ``parse=`` to ``make_urllib_fetcher``)."""
     from urllib.parse import urljoin
 
-    text = body.decode(charset or "utf-8", errors="replace")
+    text = _decode_body(body, charset)
     title = _TITLE_RE.search(text)
     og = _OG_IMAGE_RE.search(text)
     links = [urljoin(url, h) for h in _HREF_RE.findall(text)]
@@ -214,6 +224,6 @@ def make_urllib_robots_fetcher(
             return None
         finally:
             resp.close()
-        return body.decode(charset or "utf-8", errors="replace")
+        return _decode_body(body, charset)
 
     return fetch_robots

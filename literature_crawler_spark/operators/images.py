@@ -430,10 +430,12 @@ def decode_audio(data: bytes) -> tuple[np.ndarray | None, int]:
 
     Real formats: uncompressed RIFF/WAVE decodes through the stdlib
     ``wave`` module (always available, 8/16/32-bit PCM, channels
-    averaged to mono); anything else tries ``soundfile`` (libsndfile)
-    when importable — the guarded deploy codec. Returns ``(None, 0)``
-    for undecodable blobs: inside the Spark stages a bad blob is a
-    marked row, never a task abort."""
+    averaged to mono); everything the wave module cannot handle —
+    non-RIFF formats AND RIFF variants like 24-bit PCM or float WAV —
+    falls through to ``soundfile`` (libsndfile) when importable, the
+    guarded deploy codec. Returns ``(None, 0)`` for undecodable blobs:
+    inside the Spark stages a bad blob is a marked row, never a task
+    abort."""
     if data is None or len(data) < 12:
         return None, 0
     if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WAVE":
@@ -445,10 +447,13 @@ def decode_audio(data: bytes) -> tuple[np.ndarray | None, int]:
                 n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
                 raw = w.readframes(w.getnframes())
         except (wave.Error, EOFError, OSError):
-            return None, 0
+            return _soundfile_decode(data)  # e.g. float/extensible WAV
         dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
         if dtype is None or n_ch < 1:
-            return None, 0
+            # 24-bit PCM etc.: the wave module read it but NumPy has no
+            # 3-byte dtype — a real recording must not silently fall back
+            # to the fake byte-spectrum, so hand the blob to soundfile
+            return _soundfile_decode(data)
         arr = np.frombuffer(raw, dtype=dtype).astype(np.float32)
         if width == 1:
             arr = (arr - 128.0) / 128.0
@@ -457,6 +462,12 @@ def decode_audio(data: bytes) -> tuple[np.ndarray | None, int]:
         if n_ch > 1:
             arr = arr[: (arr.size // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
         return arr, rate
+    return _soundfile_decode(data)
+
+
+def _soundfile_decode(data: bytes) -> tuple[np.ndarray | None, int]:
+    """Guarded libsndfile decode — (None, 0) where the lib is absent or
+    the blob is not audio."""
     try:
         import soundfile as sf  # noqa: PLC0415 — deploy-only codec
     except ImportError:

@@ -20,8 +20,10 @@ callers MUST treat snapshot ids as opaque:
 * snapshot ids are Iceberg's random int64s, not dense 0..n — the engine
   only ever stores and replays ids it was handed, which works unchanged;
 * per-snapshot metadata (wave, counters) rides Iceberg's snapshot
-  summary via the ``snapshot-property.*`` write options instead of a
-  JSON manifest.
+  summary via the ``snapshot-property.*`` write options for writeTo
+  commits, and a per-snapshot TABLE property for SQL MERGE commits
+  (which cannot attach summary options) — ``snapshots()`` folds both
+  back into the manifest dicts.
 """
 
 from __future__ import annotations
@@ -101,6 +103,17 @@ class IcebergSnapshotStore:
                     "WHEN NOT MATCHED THEN INSERT *"
                 )
                 self.spark.catalog.dropTempView(view)
+                # SQL commits can't carry snapshot-property.* write
+                # options, and losing wave/meta on every merge breaks
+                # resume (the engine compares latest()['wave']); persist
+                # the manifest as a per-snapshot TABLE property instead,
+                # which snapshots() folds back in
+                sid = self.latest(table)["id"]
+                esc = json.dumps(props).replace("'", "''")
+                self.spark.sql(
+                    f"ALTER TABLE {ident} SET TBLPROPERTIES "
+                    f"('lcs-manifest-{sid}' = '{esc}')"
+                )
         return self.latest(table)["id"]
 
     # ------------------------------------------------------------- read ----
@@ -124,10 +137,21 @@ class IcebergSnapshotStore:
             f"SELECT snapshot_id, committed_at, operation, summary "
             f"FROM {self._ident(table)}.snapshots ORDER BY committed_at"
         ).collect()
+        # merge commits store their manifest as a per-snapshot table
+        # property (SQL MERGE cannot attach snapshot summary options)
+        tbl_props = {
+            r[0]: r[1]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._ident(table)}"
+            ).collect()
+            if r[0].startswith("lcs-manifest-")
+        }
         out = []
         for r in rows:
             props = {}
-            raw = (r.summary or {}).get("lcs-manifest")
+            raw = (r.summary or {}).get("lcs-manifest") or tbl_props.get(
+                f"lcs-manifest-{r.snapshot_id}"
+            )
             if raw:
                 try:
                     props = json.loads(raw)
@@ -200,10 +224,26 @@ class IcebergSnapshotStore:
         return expired
 
     def truncate_after(self, table: str, snapshot_id: int) -> None:
+        """Roll back AND physically expire everything after ``snapshot_id``
+        — rollback alone only moves the head, leaving the rolled-back
+        snapshots listed by snapshots() and time-travel-readable, which
+        would diverge from the Parquet backend's delete semantics (a
+        recovery replay would see phantom post-rollback waves)."""
+        snaps = self.snapshots(table)  # committed_at order, pre-rollback
+        pos = [i for i, m in enumerate(snaps) if m["id"] == snapshot_id]
         self.spark.sql(
             f"CALL {self.catalog}.system.rollback_to_snapshot("
             f"table => '{self.namespace}.{table}', snapshot_id => {snapshot_id})"
         )
+        if pos:
+            later = [m["id"] for m in snaps[pos[0] + 1 :]]
+            if later:
+                ids = ", ".join(str(i) for i in later)
+                self.spark.sql(
+                    f"CALL {self.catalog}.system.expire_snapshots("
+                    f"table => '{self.namespace}.{table}', "
+                    f"snapshot_ids => ARRAY({ids}))"
+                )
 
     def drop(self, table: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(table)} PURGE")

@@ -130,6 +130,13 @@ class SnapshotStore:
             if latest is None:
                 return None
             snapshot_id = latest["id"]
+        elif all(m["id"] != snapshot_id for m in manifests):
+            # an explicitly requested id that no longer exists (expired,
+            # truncated, or never committed) reads None — NOT the state
+            # as-of the nearest older snapshot, which would hand a
+            # recovery replay a silently different table than it asked
+            # for (same contract as the Iceberg backend)
+            return None
         upto = [m for m in manifests if m["id"] <= snapshot_id]
         if not upto:
             return None

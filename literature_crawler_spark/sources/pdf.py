@@ -132,6 +132,27 @@ def _fitz():
         return None
 
 
+def real_pdf_toc(data: bytes) -> tuple[list[tuple[int, str, int]], int] | None:
+    """TOC + page count of a real PDF WITHOUT rasterizing anything —
+    ``extract_toc`` consumes only these, and a pixmap per page just to
+    count pages costs seconds per large document. None where the blob is
+    not a parseable PDF or PyMuPDF is absent."""
+    fitz = _fitz()
+    if fitz is None or data is None or bytes(data[:5]) != b"%PDF-":
+        return None
+    try:
+        doc = fitz.open(stream=bytes(data), filetype="pdf")
+    except Exception:
+        return None
+    try:
+        toc = [(lvl, title, page) for lvl, title, page in doc.get_toc(simple=True)]
+        return toc, doc.page_count
+    except Exception:
+        return None
+    finally:
+        doc.close()
+
+
 def decode_real_pdf(
     data: bytes, scale: float = RASTER_SCALE
 ) -> tuple[list[tuple[int, str, int]], list[np.ndarray]] | None:
@@ -239,15 +260,18 @@ def extract_toc(df: DataFrame, bytes_col: str, id_col: str) -> DataFrame:
             for rid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 dec = decode_pdf(blob)
                 if dec is None:
-                    dec = decode_real_pdf(blob)  # fitz path for %PDF- blobs
-                    if dec is None:
+                    real = real_pdf_toc(blob)  # fitz path, raster-free
+                    if real is None:
                         continue
-                toc, pages = dec
+                    toc, n_pages = real
+                else:
+                    toc, pages = dec
+                    n_pages = len(pages)
                 flat = normalize_toc(toc)
                 rows.append(
                     (
                         rid,
-                        len(pages),
+                        n_pages,
                         len(flat),
                         "|".join(e["title"] or "" for e in flat),
                         max((e["level"] for e in flat), default=0),

@@ -291,11 +291,24 @@ def stale_robots(
     now_ts,
     ttl_hours: int = DEFAULT_TTL_HOURS,
     fetched_col: str = "fetched_at",
+    error_ttl_hours: int | None = None,
 ) -> DataFrame:
-    """Hosts whose cached robots.txt is older than the TTL — the refresh
+    """Hosts whose cached robots.txt is older than its TTL — the refresh
     work-list for the next fetch wave (reference analogue: none; it
-    re-reads nothing)."""
-    age_ok = F.col(fetched_col) >= F.to_timestamp(F.lit(now_ts)) - F.expr(
-        f"INTERVAL {int(ttl_hours)} HOURS"
-    )
+    re-reads nothing). Mirrors ``refresh_robots_cache``'s policy: rows
+    with status ``error`` (unreachable, deny-all per §2.3.1.4) go stale
+    on the SHORTER ``error_ttl_hours`` (default ``max(1, ttl // 4)``) so
+    a deny-all host is re-tried well before the content TTL; caches
+    without a status column use the single TTL."""
+    if error_ttl_hours is None:
+        error_ttl_hours = max(1, int(ttl_hours) // 4)
+    now_col = F.to_timestamp(F.lit(now_ts))
+    if "status" in robots_cache.columns:
+        ttl_of = F.when(
+            F.col("status") == "error",
+            F.expr(f"INTERVAL {int(error_ttl_hours)} HOURS"),
+        ).otherwise(F.expr(f"INTERVAL {int(ttl_hours)} HOURS"))
+    else:
+        ttl_of = F.expr(f"INTERVAL {int(ttl_hours)} HOURS")
+    age_ok = F.col(fetched_col) >= now_col - ttl_of
     return robots_cache.filter(~age_ok | F.col(fetched_col).isNull()).select("host")

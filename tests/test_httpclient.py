@@ -204,3 +204,12 @@ def test_urllib_robots_404_is_crawl_all(tmp_path):
     assert hc._classify(429) == "transient"
     assert hc._classify(408) == "transient"
     assert hc._classify(200) == "ok"
+
+
+def test_bogus_charset_never_raises():
+    """A server-declared 'charset=bogus' must decode with replacement,
+    not raise LookupError out of the fetch stage."""
+    out = hc.parse_fetch_page(b"<title>T</title>", "http://x/", "bogus-charset")
+    assert out["caption"] == "T"
+    assert hc._decode_body(b"abc", "no-such-encoding") == "abc"
+    assert hc._decode_body(b"abc", None) == "abc"

@@ -257,3 +257,29 @@ def test_real_codec_roundtrip_when_pillow_present(spark):
     assert rows["j"].ok and rows["j"].fmt == "jpeg"
     assert rows["p"].phash == im.phash64_pixels(px)
     assert np.int64(rows["j"].phash) is not None
+
+
+def test_audio_24bit_routes_to_soundfile(monkeypatch):
+    """24-bit PCM (sampwidth 3 — no NumPy dtype) must be handed to the
+    guarded soundfile codec, not silently fall back to the fake
+    byte-spectrum as if it were not audio."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x02" * 64)
+    blob = buf.getvalue()
+
+    calls = []
+
+    def fake_sf(data):
+        calls.append(len(data))
+        return None, 0
+
+    monkeypatch.setattr(im, "_soundfile_decode", fake_sf)
+    assert im.decode_audio(blob) == (None, 0)
+    assert calls, "24-bit WAV bypassed the soundfile fall-through"

@@ -95,7 +95,26 @@ def test_expired_snapshot_reads_none(spark, store):
 
 def test_truncate_after_rolls_back(spark, store):
     s0 = store.commit("t", _df(spark, 0, 5), mode="append")
-    store.commit("t", _df(spark, 5, 9), mode="append")
+    s1 = store.commit("t", _df(spark, 5, 9), mode="append")
     store.truncate_after("t", s0)
     assert _ks(store.read(spark, "t")) == set(range(5))
     assert store.latest("t")["id"] == s0
+    # rolled-back snapshots are GONE on every backend, not just unheaded:
+    # a recovery replay must not see phantom post-rollback waves
+    assert all(m["id"] != s1 for m in store.snapshots("t"))
+    assert store.read(spark, "t", snapshot_id=s1) is None
+
+
+def test_merge_commit_carries_wave_meta(spark, store):
+    """latest()['wave'] after a merge commit — the engine's resume
+    compares it (crawl.py), so a backend losing merge metadata breaks
+    crash recovery."""
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    store.commit("m", base, mode="merge", merge_key=["k"], wave=3,
+                 meta={"n": 1})
+    upd = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    store.commit("m", upd, mode="merge", merge_key=["k"], wave=4,
+                 meta={"n": 2})
+    latest = store.latest("m")
+    assert latest["wave"] == 4
+    assert latest["meta"].get("n") == 2
